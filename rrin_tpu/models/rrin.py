@@ -1,0 +1,164 @@
+"""The RRIN cascade: Net.forward(I0, I1, t) -> It (SURVEY.md §3.1, App-A).
+
+Four U-Nets in a fixed dataflow, compiled by XLA as ONE fused graph:
+
+  1. flow:   (F01, F10)      = UNet1(I0 ∥ I1)                       6 -> 4
+  2. time projection (linear-motion, quadratic in t):
+         Ft0 = -(1-t)·t·F01 + t²·F10
+         Ft1 =  (1-t)²·F01 − t·(1-t)·F10
+  3. refine: (ΔFt0, ΔFt1)    = UNet2(Ft0 ∥ Ft1 ∥ I0 ∥ I1)          10 -> 4
+  4. warp:   g0 = warp(I0, Ft0); g1 = warp(I1, Ft1)   [backward bilinear]
+  5. mask:   M = σ(UNet3(Ft0 ∥ Ft1 ∥ I0 ∥ I1 ∥ g0 ∥ g1))           16 -> 2
+         w0 = (1-t)·M0, w1 = t·M1
+         Î  = (w0·g0 + w1·g1) / (w0 + w1 + ε)
+  6. final:  It = clamp(Î + UNet4(I0 ∥ I1 ∥ Î), 0, 1)               9 -> 3
+
+TPU-first: NHWC, bf16 conv compute / fp32 warp+blend, static shapes, ``t``
+is a traced scalar (one compiled graph serves every t, enabling the 2^k
+recursive cascade to reuse a single executable, BASELINE.json config 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from rrin_tpu.config import ModelConfig
+from rrin_tpu.models.unet import unet_apply, unet_init
+from rrin_tpu.ops.warp import warp_pair
+
+Params = Dict[str, Any]
+
+# (in_ch, out_ch) signatures of the four cascade stages (SURVEY.md §2.1 row 2).
+UNET_SIGNATURES = {
+    "flow": (6, 4),
+    "refine": (10, 4),
+    "mask": (16, 2),
+    "final": (9, 3),
+}
+
+
+def init_params(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> Params:
+    """Random-init the full cascade parameter pytree (~9.6M params)."""
+    keys = jax.random.split(key, 4)
+    return {
+        name: unet_init(k, cin, cout, cfg)
+        for (name, (cin, cout)), k in zip(UNET_SIGNATURES.items(), keys)
+    }
+
+
+def _as_t(t: Union[float, jnp.ndarray], batch: int) -> jnp.ndarray:
+    """Broadcast t (scalar or per-example (B,)) to (B, 1, 1, 1) fp32."""
+    t = jnp.asarray(t, jnp.float32)
+    if t.ndim == 0:
+        t = jnp.broadcast_to(t, (batch,))
+    return t.reshape(-1, 1, 1, 1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "use_pallas"))
+def forward(
+    params: Params,
+    i0: jnp.ndarray,
+    i1: jnp.ndarray,
+    t: Union[float, jnp.ndarray] = 0.5,
+    cfg: ModelConfig = ModelConfig(),
+    compute_dtype: jnp.dtype = jnp.float32,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Interpolate the frame at time t between i0 and i1.
+
+    Args:
+      params: pytree from :func:`init_params` (or the torch converter).
+      i0, i1: (B, H, W, 3) float frames in [0, 1]; H, W divisible by 16
+        (use ops.pad.pad_to_multiple at the pipeline layer).
+      t: scalar or (B,) interpolation time(s) in (0, 1). Traced, not static.
+      compute_dtype: dtype for the U-Net convs (bfloat16 on TPU for the MXU
+        fast path); warp, time-projection and blend stay float32.
+      use_pallas: route the double warp through the Pallas kernel.
+
+    Returns (B, H, W, 3) float32 frame in [0, 1].
+    """
+    if i0.shape[-3] % cfg.pad_multiple or i0.shape[-2] % cfg.pad_multiple:
+        raise ValueError(
+            f"H and W must be multiples of {cfg.pad_multiple}, got "
+            f"{i0.shape[-3]}x{i0.shape[-2]}; pad with "
+            "rrin_tpu.ops.pad_to_multiple (the video pipeline does this "
+            "automatically)."
+        )
+    b = i0.shape[0]
+    tb = _as_t(t, b)
+    f32 = jnp.float32
+    i0f = i0.astype(f32)
+    i1f = i1.astype(f32)
+    cd = compute_dtype
+
+    def run_unet(name: str, *feats: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.concatenate([f.astype(cd) for f in feats], axis=-1)
+        return unet_apply(params[name], x, cfg).astype(f32)
+
+    # 1. coarse bidirectional flow
+    flows = run_unet("flow", i0f, i1f)
+    f01, f10 = flows[..., :2], flows[..., 2:]
+
+    # 2. flow-to-time projection (fp32)
+    ft0 = -(1.0 - tb) * tb * f01 + tb * tb * f10
+    ft1 = (1.0 - tb) * (1.0 - tb) * f01 - tb * (1.0 - tb) * f10
+
+    # 3. residual flow refinement
+    res = run_unet("refine", ft0, ft1, i0f, i1f)
+    ft0 = ft0 + res[..., :2]
+    ft1 = ft1 + res[..., 2:]
+
+    # 4. backward bilinear warp of both frames (fp32, zeros outside)
+    g0, g1 = warp_pair(
+        i0f, i1f, ft0, ft1, align_corners=cfg.align_corners, use_pallas=use_pallas
+    )
+
+    # 5. adaptive weight map + normalized blend (fp32)
+    m = jax.nn.sigmoid(run_unet("mask", ft0, ft1, i0f, i1f, g0, g1))
+    w0 = (1.0 - tb) * m[..., 0:1]
+    w1 = tb * m[..., 1:2]
+    coarse = (w0 * g0 + w1 * g1) / (w0 + w1 + cfg.blend_eps)
+
+    # 6. residue refinement
+    out = coarse + run_unet("final", i0f, i1f, coarse)
+    return jnp.clip(out, 0.0, 1.0)
+
+
+@dataclasses.dataclass
+class RRIN:
+    """Convenience object bundling params + config (mirrors reference `Net`).
+
+    The reference exposes ``Net.forward(frame0, frame1, t)`` (SURVEY.md §1
+    L3); this wrapper keeps that surface while the real compute stays in the
+    pure :func:`forward` (params explicit, jit-friendly).
+    """
+
+    params: Params
+    cfg: ModelConfig = ModelConfig()
+    compute_dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @classmethod
+    def init(cls, key: Optional[jax.Array] = None, cfg: ModelConfig = ModelConfig(), **kw) -> "RRIN":
+        if key is None:
+            key = jax.random.key(0)
+        return cls(params=init_params(key, cfg), cfg=cfg, **kw)
+
+    def __call__(self, i0: jnp.ndarray, i1: jnp.ndarray, t: Union[float, jnp.ndarray] = 0.5) -> jnp.ndarray:
+        return forward(
+            self.params,
+            i0,
+            i1,
+            t,
+            cfg=self.cfg,
+            compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
+        )
+
+    # Alias matching the reference method name.
+    forward = __call__

@@ -1,0 +1,103 @@
+"""Weight checkpointing and the PyTorch<->JAX converter.
+
+Layout contract (SURVEY.md §7.3 "NCHW->NHWC + OIHW->HWIO"):
+  torch ``<unet>.<block>.<conv>.weight``  (O, I, kh, kw)
+    ->  params[<unet>][<block>][<conv>]["w"]  (kh, kw, I, O)
+  torch ``....bias`` (O,) -> ...["b"] (O,)
+A leading ``module.`` prefix (DataParallel-trained upstream checkpoints,
+SURVEY.md §3.4) is stripped.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def flatten_params(params: Params, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Nested dict pytree -> flat {'flow.down1.conv1.w': ndarray}."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in params.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, Mapping):
+            out.update(flatten_params(v, prefix=key + "."))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def unflatten_params(flat: Mapping[str, np.ndarray]) -> Params:
+    out: Params = {}
+    for key, v in flat.items():
+        node = out
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(v)
+    return out
+
+
+def save_params(path: str, params: Params) -> None:
+    """Save as a flat .npz (the native checkpoint format)."""
+    np.savez(path, **flatten_params(params))
+
+
+def load_params(path: str) -> Params:
+    with np.load(path) as data:
+        return unflatten_params({k: data[k] for k in data.files})
+
+
+def convert_torch_state_dict(state_dict: Mapping[str, Any]) -> Params:
+    """Convert a reference-layout torch state_dict to our param pytree.
+
+    Accepts torch tensors or numpy arrays as values; strips a ``module.``
+    prefix; transposes conv weights OIHW -> HWIO.
+    """
+    flat: Dict[str, np.ndarray] = {}
+    for key, val in state_dict.items():
+        if key.startswith("module."):
+            key = key[len("module.") :]
+        arr = np.asarray(val.detach().cpu().numpy() if hasattr(val, "detach") else val)
+        if key.endswith(".weight"):
+            if arr.ndim != 4:
+                raise ValueError(f"unexpected weight rank for {key}: {arr.shape}")
+            flat[key[: -len(".weight")] + ".w"] = np.transpose(arr, (2, 3, 1, 0))
+        elif key.endswith(".bias"):
+            flat[key[: -len(".bias")] + ".b"] = arr
+        else:
+            raise ValueError(f"unrecognized state_dict key: {key}")
+    return unflatten_params(flat)
+
+
+def load_torch_checkpoint(path: str) -> Params:
+    """Load a reference ``.pth``/``.pth.tar`` checkpoint (requires torch)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, Mapping) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return convert_torch_state_dict(obj)
+
+
+def params_to_torch_state_dict(params: Params) -> Dict[str, Any]:
+    """Inverse converter (our pytree -> reference-layout torch tensors).
+
+    Used by the parity tests to push one set of random JAX weights into the
+    PyTorch oracle (SURVEY.md §4 "Parity/golden").
+    """
+    import torch
+
+    out: Dict[str, Any] = {}
+    for key, arr in flatten_params(params).items():
+        if key.endswith(".w"):
+            out[key[:-2] + ".weight"] = torch.from_numpy(
+                np.ascontiguousarray(np.transpose(np.asarray(arr), (3, 2, 0, 1)))
+            )
+        elif key.endswith(".b"):
+            out[key[:-2] + ".bias"] = torch.from_numpy(np.asarray(arr).copy())
+        else:
+            raise ValueError(f"unrecognized param key: {key}")
+    return out
