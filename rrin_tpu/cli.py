@@ -1,0 +1,121 @@
+"""CLI: 2^k-upsample a video's frame rate (SURVEY.md §1 L5, §3.2).
+
+Mirrors the reference tool's surface — input video, scale-factor exponent,
+output path, precision/device-ish flags — with TPU-native additions
+(batch size, direct-vs-cascade time mode, Pallas toggle, JSON report).
+
+Usage:
+    python -m rrin_tpu.cli -i in.mp4 -o out.mp4 --exp 1 --ckpt weights.npz
+    python -m rrin_tpu.cli -i in.mp4 -o out.mp4 --sf 4 --ckpt weights.pth
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List, Optional
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rrin-tpu",
+        description="TPU-native RRIN video frame-rate 2^k upsampler",
+    )
+    p.add_argument("--input", "-i", required=True, help="input video path")
+    p.add_argument("--output", "-o", required=True, help="output video path")
+    g = p.add_mutually_exclusive_group()
+    g.add_argument(
+        "--exp", "-e", type=int, default=1,
+        help="frame-rate upsampling exponent k (output fps = input fps * 2^k)",
+    )
+    g.add_argument(
+        "--sf", type=int, default=None,
+        help="scale factor (power of two; reference-style alias for --exp)",
+    )
+    p.add_argument(
+        "--ckpt", "-c", default=None,
+        help=".npz (native) or .pth/.pth.tar (reference torch) weights; "
+        "random init if omitted (for smoke tests)",
+    )
+    p.add_argument("--batch-size", "-b", type=int, default=1,
+                   help="frame pairs per device step")
+    p.add_argument(
+        "--mode", choices=("direct", "cascade"), default="direct",
+        help="direct: each intermediate at its own t in one pass; "
+        "cascade: reference-style recursive midpoints (HBM-resident)",
+    )
+    p.add_argument("--fp32", action="store_true",
+                   help="full float32 compute (default bfloat16 on TPU)")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="use the pure-XLA warp instead of the Pallas kernel")
+    p.add_argument("--fps", type=float, default=None,
+                   help="override output fps metadata")
+    p.add_argument("--fourcc", default="mp4v", help="output codec fourcc")
+    p.add_argument("--align-corners", action="store_true",
+                   help="use align_corners=True grid_sample semantics")
+    p.add_argument("--report", default=None,
+                   help="write the JSON pipeline report to this path")
+    p.add_argument("--quiet", "-q", action="store_true")
+    return p
+
+
+def _load_params(ckpt: Optional[str], quiet: bool):
+    import jax
+
+    from rrin_tpu.models.rrin import init_params
+    from rrin_tpu.params import load_params, load_torch_checkpoint
+
+    if ckpt is None:
+        if not quiet:
+            print(
+                "[rrin-tpu] WARNING: no --ckpt given; using random weights "
+                "(output will be a blurry blend — smoke-test only)",
+                file=sys.stderr,
+            )
+        return init_params(jax.random.key(0))
+    if ckpt.endswith((".pth", ".tar", ".pt")):
+        return load_torch_checkpoint(ckpt)
+    return load_params(ckpt)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    exp = args.exp
+    if args.sf is not None:
+        if args.sf < 2 or args.sf & (args.sf - 1):
+            print(f"error: --sf must be a power of two >= 2, got {args.sf}",
+                  file=sys.stderr)
+            return 2
+        exp = args.sf.bit_length() - 1
+
+    from rrin_tpu.config import ModelConfig
+    from rrin_tpu.pipeline import interpolate_video
+
+    params = _load_params(args.ckpt, args.quiet)
+    cfg = ModelConfig(align_corners=args.align_corners)
+
+    report = interpolate_video(
+        args.input,
+        args.output,
+        params,
+        cfg=cfg,
+        exp=exp,
+        mode=args.mode,
+        batch_size=args.batch_size,
+        compute_dtype="float32" if args.fp32 else "bfloat16",
+        use_pallas=not args.no_pallas,
+        fps_out=args.fps,
+        fourcc=args.fourcc,
+        progress=not args.quiet,
+    )
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(report.to_json())
+    if not args.quiet:
+        print(report.to_json())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,201 @@
+"""Vimeo-90K-style triplet evaluation harness (SURVEY.md §3.3, §4;
+BASELINE.json configs 1-2).
+
+A triplet directory holds im1/im2/im3 images (Vimeo-90K layout); the model
+predicts im2 from (im1, im3) at t=0.5 and is scored with PSNR/SSIM. Since
+the environment is air-gapped (no Vimeo download), ``synthesize_triplets``
+generates deterministic moving-texture triplets so the harness and the
+parity gate are runnable anywhere.
+
+CLI:
+    python -m rrin_tpu.eval --data triplets_root --ckpt w.npz [--batch 8]
+    python -m rrin_tpu.eval --synthesize 20 --data /tmp/trips   # make data
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+FRAME_NAMES = ("im1.png", "im2.png", "im3.png")
+
+
+def find_triplets(root: str) -> List[str]:
+    """All directories under root (or root itself) holding im1/im2/im3."""
+    out = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+        if all(n in filenames for n in FRAME_NAMES):
+            out.append(dirpath)
+    return out
+
+
+def load_triplet(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    import cv2
+
+    frames = []
+    for name in FRAME_NAMES:
+        img = cv2.imread(os.path.join(path, name), cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(os.path.join(path, name))
+        frames.append(np.ascontiguousarray(img[:, :, ::-1]))
+    return tuple(frames)  # type: ignore[return-value]
+
+
+def synthesize_triplets(
+    root: str, count: int = 8, hw: Tuple[int, int] = (256, 448), seed: int = 0
+) -> List[str]:
+    """Deterministic synthetic triplets: smooth random textures translated by
+    a random subpixel motion (im2 exactly midway) — linear motion, so a
+    good interpolator scores high; useful for harness tests and regression
+    tracking without the real dataset."""
+    import cv2
+
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    paths = []
+    for i in range(count):
+        base = rng.random((h // 8, w // 8, 3)).astype(np.float32)
+        tex = cv2.resize(base, (2 * w, 2 * h), interpolation=cv2.INTER_CUBIC)
+        dx, dy = rng.uniform(-6, 6, size=2)
+        d = os.path.join(root, f"{i:05d}")
+        os.makedirs(d, exist_ok=True)
+        mat0 = np.float32([[1, 0, w // 2], [0, 1, h // 2]])
+        for j, name in enumerate(FRAME_NAMES):
+            mat = mat0.copy()
+            mat[0, 2] += dx * j
+            mat[1, 2] += dy * j
+            img = cv2.warpAffine(
+                tex, mat[:2], (w, h), flags=cv2.INTER_LINEAR + cv2.WARP_INVERSE_MAP
+            )
+            cv2.imwrite(
+                os.path.join(d, name),
+                np.clip(img[:, :, ::-1] * 255.0, 0, 255).astype(np.uint8),
+            )
+        paths.append(d)
+    return paths
+
+
+def evaluate(
+    params: Dict[str, Any],
+    triplet_dirs: List[str],
+    batch_size: int = 4,
+    compute_dtype: str = "float32",
+    use_pallas: bool = False,
+    cfg=None,
+) -> Dict[str, Any]:
+    """PSNR/SSIM of predicted middle frames over a triplet set.
+
+    Batches same-resolution triplets onto the device; one jit per
+    resolution. Returns a structured report dict.
+    """
+    import jax.numpy as jnp
+
+    from rrin_tpu.config import ModelConfig
+    from rrin_tpu.metrics import psnr, ssim
+    from rrin_tpu.models.rrin import forward
+    from rrin_tpu.ops.pad import pad_to_multiple, unpad
+
+    cfg = cfg or ModelConfig()
+    cd = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[compute_dtype]
+
+    psnrs: List[float] = []
+    ssims: List[float] = []
+    per_triplet: List[Dict[str, Any]] = []
+    t_start = time.perf_counter()
+    n_frames = 0
+
+    # Group by resolution to keep jit signatures few.
+    by_res: Dict[Tuple[int, int], List[str]] = {}
+    for d in triplet_dirs:
+        im1, _, _ = load_triplet(d)
+        by_res.setdefault(im1.shape[:2], []).append(d)
+
+    for res, dirs in by_res.items():
+        for i in range(0, len(dirs), batch_size):
+            chunk = dirs[i : i + batch_size]
+            trips = [load_triplet(d) for d in chunk]
+            i0 = np.stack([t[0] for t in trips]).astype(np.float32) / 255.0
+            gt = np.stack([t[1] for t in trips]).astype(np.float32) / 255.0
+            i1 = np.stack([t[2] for t in trips]).astype(np.float32) / 255.0
+            i0p, hw = pad_to_multiple(jnp.asarray(i0), cfg.pad_multiple)
+            i1p, _ = pad_to_multiple(jnp.asarray(i1), cfg.pad_multiple)
+            pred = forward(
+                params, i0p, i1p, 0.5, cfg=cfg, compute_dtype=cd,
+                use_pallas=use_pallas,
+            )
+            pred = unpad(pred, hw)
+            p = np.asarray(psnr(pred, jnp.asarray(gt)))
+            s = np.asarray(ssim(pred, jnp.asarray(gt)))
+            psnrs.extend(p.tolist())
+            ssims.extend(s.tolist())
+            n_frames += len(chunk)
+            for d, pv, sv in zip(chunk, p.tolist(), s.tolist()):
+                per_triplet.append({"dir": d, "psnr": round(pv, 4), "ssim": round(sv, 5)})
+
+    wall = time.perf_counter() - t_start
+    return {
+        "count": len(psnrs),
+        "psnr_mean": round(float(np.mean(psnrs)), 4) if psnrs else None,
+        "ssim_mean": round(float(np.mean(ssims)), 5) if ssims else None,
+        "frames_per_sec": round(n_frames / wall, 2) if wall > 0 else None,
+        "wall_seconds": round(wall, 3),
+        "per_triplet": per_triplet,
+    }
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    p = argparse.ArgumentParser(prog="rrin-tpu-eval")
+    p.add_argument("--data", required=True, help="triplet root directory")
+    p.add_argument("--ckpt", default=None, help=".npz or .pth weights")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--synthesize", type=int, default=0, metavar="N",
+                   help="generate N synthetic triplets into --data and exit")
+    p.add_argument("--report", default=None, help="write JSON report here")
+    args = p.parse_args(argv)
+
+    if args.synthesize:
+        paths = synthesize_triplets(args.data, args.synthesize)
+        print(f"[rrin-tpu-eval] wrote {len(paths)} synthetic triplets to {args.data}")
+        return 0
+
+    import jax
+
+    from rrin_tpu.models.rrin import init_params
+    from rrin_tpu.params import load_params, load_torch_checkpoint
+
+    if args.ckpt is None:
+        print("[rrin-tpu-eval] WARNING: random weights (smoke test only)",
+              file=sys.stderr)
+        params = init_params(jax.random.key(0))
+    elif args.ckpt.endswith((".pth", ".tar", ".pt")):
+        params = load_torch_checkpoint(args.ckpt)
+    else:
+        params = load_params(args.ckpt)
+
+    dirs = find_triplets(args.data)
+    if not dirs:
+        print(f"error: no im1/im2/im3 triplets under {args.data}", file=sys.stderr)
+        return 2
+    report = evaluate(
+        params, dirs, batch_size=args.batch,
+        compute_dtype="float32" if args.fp32 else "bfloat16",
+        use_pallas=not args.no_pallas,
+    )
+    summary = {k: v for k, v in report.items() if k != "per_triplet"}
+    print(json.dumps(summary, indent=2))
+    if args.report:
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=2)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,167 @@
+"""OpenCV-based video decode/encode with threaded prefetch.
+
+The reference's CLI opens a ``cv2.VideoCapture``/``VideoWriter`` pair and
+iterates frame pairs inline (SURVEY.md §3.2). Here decode runs on a
+background thread pushing into a bounded queue so host decode overlaps
+device compute (SURVEY.md §1 L4: "double-buffered host<->HBM streaming").
+
+Frames cross these APIs as RGB uint8 HWC numpy arrays; BGR<->RGB swaps
+happen at the OpenCV boundary only.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover - cv2 is present in the target env
+    cv2 = None
+
+
+@dataclass
+class VideoMeta:
+    width: int
+    height: int
+    fps: float
+    frame_count: int  # may be 0/negative if the container lies
+
+
+def probe_video(path: str) -> VideoMeta:
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {path}")
+    meta = VideoMeta(
+        width=int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        height=int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        fps=float(cap.get(cv2.CAP_PROP_FPS)) or 30.0,
+        frame_count=int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+    )
+    cap.release()
+    return meta
+
+
+class VideoReader:
+    """Threaded sequential decoder yielding RGB uint8 HWC frames."""
+
+    _SENTINEL = None
+
+    def __init__(self, path: str, queue_depth: int = 8, start_frame: int = 0):
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise FileNotFoundError(f"cannot open video: {path}")
+        if start_frame:
+            self._cap.set(cv2.CAP_PROP_POS_FRAMES, start_frame)
+        self.meta = VideoMeta(
+            width=int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            height=int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            fps=float(self._cap.get(cv2.CAP_PROP_FPS)) or 30.0,
+            frame_count=int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+        )
+        self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=queue_depth)
+        self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._decode_loop, daemon=True)
+        self._thread.start()
+
+    def _decode_loop(self) -> None:
+        try:
+            while not self._stop.is_set():
+                ok, frame = self._cap.read()
+                if not ok:
+                    break
+                rgb = np.ascontiguousarray(frame[:, :, ::-1])
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(rgb, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # surfaced on the consumer thread
+            self._err = e
+        finally:
+            self._cap.release()
+            try:
+                self._q.put(self._SENTINEL, timeout=5.0)
+            except queue.Full:
+                pass
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        while True:
+            frame = self._q.get()
+            if frame is self._SENTINEL:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield frame
+
+    def close(self) -> None:
+        self._stop.set()
+        # Drain so the decode thread can observe the stop flag and exit.
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
+
+
+class VideoWriter:
+    """Threaded encoder consuming RGB uint8 HWC frames.
+
+    Encode runs on its own thread so ``write`` never blocks device dispatch;
+    ``frames_written`` is the resume watermark (SURVEY.md §5 checkpoint/
+    resume for video jobs).
+    """
+
+    _SENTINEL = None
+
+    def __init__(
+        self,
+        path: str,
+        fps: float,
+        size_hw: Tuple[int, int],
+        fourcc: str = "mp4v",
+        queue_depth: int = 16,
+    ):
+        h, w = size_hw
+        self._writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*fourcc), fps, (w, h)
+        )
+        if not self._writer.isOpened():
+            raise IOError(f"cannot open encoder for {path} ({fourcc} {w}x{h}@{fps})")
+        self.path = path
+        self.frames_written = 0
+        self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=queue_depth)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._encode_loop, daemon=True)
+        self._thread.start()
+
+    def _encode_loop(self) -> None:
+        try:
+            while True:
+                frame = self._q.get()
+                if frame is self._SENTINEL:
+                    break
+                self._writer.write(frame[:, :, ::-1])  # RGB -> BGR
+                self.frames_written += 1
+        except BaseException as e:
+            self._err = e
+        finally:
+            self._writer.release()
+
+    def write(self, frame: np.ndarray) -> None:
+        if self._err is not None:
+            raise self._err
+        self._q.put(frame)
+
+    def close(self) -> None:
+        self._q.put(self._SENTINEL)
+        self._thread.join()
+        if self._err is not None:
+            raise self._err

@@ -117,9 +117,14 @@ def warp_pair(
     it into the surrounding graph for free.
     """
     if use_pallas:
-        from rrin_tpu.ops.warp_pallas import warp_pair_pallas
-
-        return warp_pair_pallas(i0, i1, flow_t0, flow_t1, align_corners=align_corners)
+        try:
+            from rrin_tpu.ops.warp_pallas import warp_pair_pallas
+        except ImportError:
+            warp_pair_pallas = None
+        if warp_pair_pallas is not None:
+            return warp_pair_pallas(
+                i0, i1, flow_t0, flow_t1, align_corners=align_corners
+            )
     g0 = warp_bilinear(i0, flow_t0, align_corners=align_corners)
     g1 = warp_bilinear(i1, flow_t1, align_corners=align_corners)
     return g0, g1

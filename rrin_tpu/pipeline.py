@@ -1,0 +1,318 @@
+"""Streaming video interpolation engine (SURVEY.md §1 L4, §3.2, §7.2 step 3).
+
+decode -> normalize -> pad16 -> interpolate -> unpad -> quantize -> encode,
+restructured TPU-first:
+
+  * uint8 crosses the PCIe boundary in both directions (4x less transfer
+    than the reference's float CHW upload); normalize/pad/quantize run
+    on-device inside the jitted step.
+  * The device step is ONE jit per (resolution, batch, exp): it expands a
+    batch of frame pairs to all 2^k - 1 intermediate times and runs the
+    cascade at maximal batch (direct mode), or runs the reference's
+    cascaded midpoint recursion entirely in HBM (cascade mode,
+    BASELINE.json config 4 — intermediates never round-trip to host,
+    avoiding SURVEY.md §7.3's re-quantization pitfall).
+  * Host decode and encode run on their own threads (io/video.py); device
+    dispatch is async with a bounded in-flight window, so H2D/compute/D2H
+    overlap decode and encode (the reference's CUDA-stream analog).
+  * Per-stage wall-clock timers are collected into a structured JSON report
+    (SURVEY.md §5 metrics/observability).
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rrin_tpu.config import ModelConfig
+from rrin_tpu.models.rrin import forward
+from rrin_tpu.ops.pad import padded_size
+
+
+def _dtype_from_name(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("exp", "mode", "cfg", "compute_dtype", "use_pallas", "pad_hw"),
+)
+def device_step(
+    params: Dict[str, Any],
+    pairs_u8: jnp.ndarray,
+    exp: int = 1,
+    mode: str = "direct",
+    cfg: ModelConfig = ModelConfig(),
+    compute_dtype: Any = jnp.bfloat16,
+    use_pallas: bool = False,
+    pad_hw: Any = None,
+) -> jnp.ndarray:
+    """One fused device step: (B, 2, H, W, 3) uint8 -> (B, 2^exp - 1, H, W, 3) uint8.
+
+    All math between the two uint8 boundaries is on-device and fused by XLA.
+    ``pad_hw`` is the static (pad_h, pad_w) bottom/right padding to /16.
+    """
+    b, _, h, w, _ = pairs_u8.shape
+    ph, pw = pad_hw if pad_hw is not None else (
+        padded_size(h, cfg.pad_multiple) - h,
+        padded_size(w, cfg.pad_multiple) - w,
+    )
+    x = pairs_u8.astype(jnp.float32) * (1.0 / 255.0)
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    i0, i1 = x[:, 0], x[:, 1]
+    m = (1 << exp) - 1
+
+    run = partial(
+        forward, params, cfg=cfg, compute_dtype=compute_dtype, use_pallas=use_pallas
+    )
+
+    if mode == "direct" or exp == 1:
+        # All m times in one maximal-batch forward: replicate pairs m times,
+        # pair j gets t = (j+1)/2^exp. Best MXU utilization.
+        ts = jnp.arange(1, m + 1, dtype=jnp.float32) / (1 << exp)
+        i0r = jnp.repeat(i0, m, axis=0)  # (B*m, H, W, 3), pair-major
+        i1r = jnp.repeat(i1, m, axis=0)
+        tr = jnp.tile(ts, (b,))
+        mids = run(i0r, i1r, tr).reshape(b, m, i0.shape[1], i0.shape[2], 3)
+    elif mode == "cascade":
+        # Reference-compatible midpoint recursion (SURVEY.md §3.2 [B:10]):
+        # level l interpolates midpoints of all 2^l consecutive pairs, in
+        # one batched forward per level; intermediates stay in HBM float.
+        frames = [i0, i1]  # ordered timeline
+        for _level in range(exp):
+            lhs = jnp.concatenate(frames[:-1], axis=0)
+            rhs = jnp.concatenate(frames[1:], axis=0)
+            new_mids = run(lhs, rhs, 0.5)
+            n_pairs = len(frames) - 1
+            mids_list = [
+                new_mids[i * b : (i + 1) * b] for i in range(n_pairs)
+            ]
+            merged: List[jnp.ndarray] = []
+            for i, f in enumerate(frames[:-1]):
+                merged.append(f)
+                merged.append(mids_list[i])
+            merged.append(frames[-1])
+            frames = merged
+        mids = jnp.stack(frames[1:-1], axis=1)  # (B, m, H, W, 3)
+    else:
+        raise ValueError(f"unknown mode: {mode!r} (use 'direct' or 'cascade')")
+
+    if ph or pw:
+        mids = mids[:, :, :h, :w, :]
+    return jnp.round(jnp.clip(mids, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+@dataclass
+class StageTimers:
+    decode: float = 0.0
+    dispatch: float = 0.0  # host->device + jitted step dispatch
+    d2h: float = 0.0  # blocking device->host result fetch
+    encode_wait: float = 0.0  # time the main loop stalled on the encode queue
+    total: float = 0.0
+
+    def as_dict(self) -> Dict[str, float]:
+        return {k: round(v, 4) for k, v in self.__dict__.items()}
+
+
+@dataclass
+class PipelineReport:
+    """Structured per-run report (SURVEY.md §5 metrics/logging)."""
+
+    input: str
+    output: str
+    exp: int
+    mode: str
+    frames_in: int = 0
+    frames_out: int = 0
+    fps_in: float = 0.0
+    fps_out: float = 0.0
+    interp_fps: float = 0.0  # interpolated frames produced per second
+    output_fps_rate: float = 0.0  # total output frames per second of wall clock
+    compile_seconds: float = 0.0
+    timers: Dict[str, float] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, indent=2)
+
+
+class Interpolator:
+    """Jit-managing wrapper around :func:`device_step` for one video config."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        cfg: ModelConfig = ModelConfig(),
+        exp: int = 1,
+        mode: str = "direct",
+        compute_dtype: str = "bfloat16",
+        use_pallas: bool = False,
+    ):
+        if mode not in ("direct", "cascade"):
+            raise ValueError(f"unknown mode: {mode!r}")
+        if exp < 1:
+            raise ValueError("exp must be >= 1")
+        self.params = params
+        self.cfg = cfg
+        self.exp = exp
+        self.mode = mode
+        self.compute_dtype = _dtype_from_name(compute_dtype)
+        self.use_pallas = use_pallas
+
+    @property
+    def mids_per_pair(self) -> int:
+        return (1 << self.exp) - 1
+
+    def step(self, pairs_u8: np.ndarray) -> jax.Array:
+        """Dispatch one device step; returns the (async) device result."""
+        b, _, h, w, _ = pairs_u8.shape
+        pad_hw = (
+            padded_size(h, self.cfg.pad_multiple) - h,
+            padded_size(w, self.cfg.pad_multiple) - w,
+        )
+        return device_step(
+            self.params,
+            jnp.asarray(pairs_u8),
+            exp=self.exp,
+            mode=self.mode,
+            cfg=self.cfg,
+            compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
+            pad_hw=pad_hw,
+        )
+
+
+def interpolate_video(
+    input_path: str,
+    output_path: str,
+    params: Dict[str, Any],
+    cfg: ModelConfig = ModelConfig(),
+    exp: int = 1,
+    mode: str = "direct",
+    batch_size: int = 1,
+    compute_dtype: str = "bfloat16",
+    use_pallas: bool = False,
+    fps_out: Optional[float] = None,
+    fourcc: str = "mp4v",
+    queue_depth: int = 8,
+    max_in_flight: int = 2,
+    progress: bool = False,
+) -> PipelineReport:
+    """2^exp-upsample ``input_path``'s frame rate into ``output_path``.
+
+    Output frame count = 2^exp * (N - 1) + 1 for N input frames
+    (original frames interleaved with interpolated ones, SURVEY.md §3.2).
+    """
+    from rrin_tpu.io.video import VideoReader, VideoWriter
+
+    interp = Interpolator(
+        params, cfg, exp=exp, mode=mode, compute_dtype=compute_dtype,
+        use_pallas=use_pallas,
+    )
+    m = interp.mids_per_pair
+
+    reader = VideoReader(input_path, queue_depth=queue_depth)
+    meta = reader.meta
+    out_fps = fps_out if fps_out is not None else meta.fps * (1 << exp)
+    writer = VideoWriter(
+        output_path, out_fps, (meta.height, meta.width), fourcc=fourcc,
+        queue_depth=queue_depth * (m + 1),
+    )
+
+    timers = StageTimers()
+    report = PipelineReport(
+        input=input_path, output=output_path, exp=exp, mode=mode,
+        fps_in=meta.fps, fps_out=out_fps,
+    )
+    t_start = time.perf_counter()
+
+    # In-flight window: (list of left frames, device result) per step.
+    inflight: "collections.deque" = collections.deque()
+    pending_pairs: List[np.ndarray] = []  # stacked (2, H, W, 3) uint8
+    pending_lefts: List[np.ndarray] = []
+    prev: Optional[np.ndarray] = None
+    last_frame: Optional[np.ndarray] = None
+    frames_in = 0
+    first_dispatch = True
+
+    def drain_one() -> None:
+        nonlocal timers
+        lefts, dev = inflight.popleft()
+        t0 = time.perf_counter()
+        mids = np.asarray(dev)  # blocks until the step is done; uint8 host copy
+        timers.d2h += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i, left in enumerate(lefts):
+            writer.write(left)
+            for j in range(m):
+                writer.write(mids[i, j])
+        timers.encode_wait += time.perf_counter() - t0
+
+    def dispatch(pairs: List[np.ndarray], lefts: List[np.ndarray]) -> None:
+        nonlocal first_dispatch, timers, report
+        n = len(pairs)
+        if n < batch_size:
+            # Pad the tail batch so the jit signature stays unique; the
+            # padded rows are computed then dropped (lefts is shorter).
+            pairs = pairs + [pairs[-1]] * (batch_size - n)
+        batch = np.stack(pairs)  # (B, 2, H, W, 3) uint8
+        t0 = time.perf_counter()
+        dev = interp.step(batch)[: len(lefts)]
+        dt = time.perf_counter() - t0
+        if first_dispatch:
+            report.compile_seconds = round(dt, 3)
+            first_dispatch = False
+        else:
+            timers.dispatch += dt
+        inflight.append((lefts, dev))
+        while len(inflight) > max_in_flight:
+            drain_one()
+
+    try:
+        t_dec = time.perf_counter()
+        for frame in reader:
+            timers.decode += time.perf_counter() - t_dec
+            frames_in += 1
+            last_frame = frame
+            if prev is not None:
+                pending_pairs.append(np.stack([prev, frame]))
+                pending_lefts.append(prev)
+                if len(pending_pairs) == batch_size:
+                    dispatch(pending_pairs, pending_lefts)
+                    pending_pairs, pending_lefts = [], []
+            prev = frame
+            if progress and frames_in % 100 == 0:
+                print(f"\r[rrin-tpu] {frames_in} frames decoded", end="", flush=True)
+            t_dec = time.perf_counter()
+        if pending_pairs:
+            dispatch(pending_pairs, pending_lefts)
+        while inflight:
+            drain_one()
+        if last_frame is not None:
+            writer.write(last_frame)
+        if frames_in == 0:
+            raise ValueError(f"no frames decoded from {input_path}")
+    finally:
+        reader.close()
+        writer.close()
+        if progress:
+            print()
+
+    timers.total = time.perf_counter() - t_start
+    report.frames_in = frames_in
+    report.frames_out = writer.frames_written
+    n_interp = max(frames_in - 1, 0) * m
+    report.interp_fps = round(n_interp / timers.total, 2) if timers.total else 0.0
+    report.output_fps_rate = (
+        round(report.frames_out / timers.total, 2) if timers.total else 0.0
+    )
+    report.timers = timers.as_dict()
+    return report

@@ -1,0 +1,173 @@
+"""End-to-end pipeline + CLI tests on synthetic videos (SURVEY.md §4
+"Integration": frame count = 2^k(N-1)+1, fps metadata, decodability)."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax  # noqa: E402
+
+from rrin_tpu.cli import main as cli_main  # noqa: E402
+from rrin_tpu.io.video import VideoReader, VideoWriter, probe_video  # noqa: E402
+from rrin_tpu.models.rrin import init_params  # noqa: E402
+from rrin_tpu.pipeline import interpolate_video  # noqa: E402
+
+H, W, N_FRAMES, FPS = 64, 96, 9, 10.0
+
+
+def _make_video(path: str, n: int = N_FRAMES, hw=(H, W), fps: float = FPS):
+    h, w = hw
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    assert writer.isOpened()
+    rng = np.random.default_rng(0)
+    # Smooth (codec-friendly) moving texture: low-freq noise upscaled.
+    small = rng.random((h // 8, 2 * w // 8, 3)).astype(np.float32)
+    base = cv2.resize(small, (2 * w, h), interpolation=cv2.INTER_CUBIC)
+    base = (np.clip(base, 0, 1) * 255).astype(np.uint8)
+    for i in range(n):
+        frame = base[:, 3 * i : 3 * i + w]
+        writer.write(frame)
+    writer.release()
+    return path
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    return _make_video(str(tmp_path_factory.mktemp("vid") / "in.mp4"))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.key(0))
+
+
+class TestVideoIO:
+    def test_probe(self, video):
+        meta = probe_video(video)
+        assert (meta.width, meta.height) == (W, H)
+        assert meta.frame_count == N_FRAMES
+        assert abs(meta.fps - FPS) < 0.01
+
+    def test_reader_round_trip(self, video, tmp_path):
+        frames = list(VideoReader(video))
+        assert len(frames) == N_FRAMES
+        assert frames[0].shape == (H, W, 3)
+        out = str(tmp_path / "copy.mp4")
+        w = VideoWriter(out, FPS, (H, W))
+        for f in frames:
+            w.write(f)
+        w.close()
+        assert w.frames_written == N_FRAMES
+        assert probe_video(out).frame_count == N_FRAMES
+
+    def test_missing_file_raises(self):
+        with pytest.raises(FileNotFoundError):
+            VideoReader("/nonexistent/video.mp4")
+
+
+class TestPipeline:
+    @pytest.mark.parametrize("exp,mode", [(1, "direct"), (2, "direct"), (2, "cascade")])
+    def test_frame_count_and_fps(self, video, params, tmp_path, exp, mode):
+        out = str(tmp_path / f"out_{exp}_{mode}.mp4")
+        report = interpolate_video(
+            video, out, params, exp=exp, mode=mode, compute_dtype="float32",
+        )
+        expected = (1 << exp) * (N_FRAMES - 1) + 1
+        assert report.frames_out == expected
+        meta = probe_video(out)
+        assert meta.frame_count == expected
+        assert abs(meta.fps - FPS * (1 << exp)) < 0.01
+        assert report.frames_in == N_FRAMES
+        assert report.compile_seconds > 0
+
+    def test_batched_matches_unbatched(self, video, params, tmp_path):
+        out1 = str(tmp_path / "b1.mp4")
+        out4 = str(tmp_path / "b4.mp4")
+        interpolate_video(video, out1, params, batch_size=1, compute_dtype="float32")
+        interpolate_video(video, out4, params, batch_size=4, compute_dtype="float32")
+        f1 = list(VideoReader(out1))
+        f4 = list(VideoReader(out4))
+        assert len(f1) == len(f4)
+        # mp4 is lossy, so compare frames decoded from the two files loosely.
+        for a, b in zip(f1, f4):
+            assert np.mean(np.abs(a.astype(int) - b.astype(int))) < 2.0
+
+    def test_interpolated_frame_is_between(self, params, tmp_path):
+        # Content check: translating texture; the mid frame should be closer
+        # to the true midpoint than either endpoint is (even with random
+        # weights the output is a blend; use PSNR vs a constructed midpoint).
+        path = _make_video(str(tmp_path / "shift.mp4"))
+        out = str(tmp_path / "shift_out.mp4")
+        interpolate_video(path, out, params, compute_dtype="float32")
+        frames = list(VideoReader(out))
+        assert len(frames) == 2 * (N_FRAMES - 1) + 1
+        # even indices are original frames (possibly re-encoded)
+        orig = list(VideoReader(path))
+        for i in range(N_FRAMES):
+            a = frames[2 * i].astype(int)
+            b = orig[i].astype(int)
+            assert np.mean(np.abs(a - b)) < 12.0  # codec noise only
+
+
+class TestCLI:
+    def test_cli_end_to_end(self, video, tmp_path, capsys):
+        out = str(tmp_path / "cli_out.mp4")
+        rpt = str(tmp_path / "report.json")
+        rc = cli_main([
+            "-i", video, "-o", out, "--exp", "1", "--fp32", "--quiet",
+            "--report", rpt, "--no-pallas",
+        ])
+        assert rc == 0
+        assert probe_video(out).frame_count == 2 * (N_FRAMES - 1) + 1
+        import json
+
+        with open(rpt) as f:
+            report = json.load(f)
+        assert report["frames_out"] == 2 * (N_FRAMES - 1) + 1
+        assert "timers" in report
+
+    def test_cli_sf_alias(self, video, tmp_path):
+        out = str(tmp_path / "sf_out.mp4")
+        rc = cli_main(["-i", video, "-o", out, "--sf", "4", "--fp32", "--quiet"])
+        assert rc == 0
+        assert probe_video(out).frame_count == 4 * (N_FRAMES - 1) + 1
+
+    def test_cli_bad_sf(self, video, tmp_path):
+        rc = cli_main([
+            "-i", video, "-o", str(tmp_path / "x.mp4"), "--sf", "3", "--quiet",
+        ])
+        assert rc == 2
+
+    def test_cli_missing_input(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            cli_main([
+                "-i", "/nonexistent.mp4", "-o", str(tmp_path / "y.mp4"), "--quiet",
+            ])
+
+
+class TestEval:
+    def test_synthetic_eval_harness(self, params, tmp_path):
+        from rrin_tpu.eval import evaluate, find_triplets, synthesize_triplets
+
+        root = str(tmp_path / "trips")
+        synthesize_triplets(root, count=3, hw=(64, 96))
+        dirs = find_triplets(root)
+        assert len(dirs) == 3
+        report = evaluate(params, dirs, batch_size=2, compute_dtype="float32")
+        assert report["count"] == 3
+        assert report["psnr_mean"] is not None and report["psnr_mean"] > 5.0
+        assert 0.0 <= report["ssim_mean"] <= 1.0
+        assert len(report["per_triplet"]) == 3
+
+    def test_eval_cli(self, tmp_path, capsys):
+        from rrin_tpu.eval import main as eval_main
+
+        root = str(tmp_path / "trips2")
+        rc = eval_main(["--data", root, "--synthesize", "2"])
+        assert rc == 0
+        rc = eval_main(["--data", root, "--fp32", "--no-pallas"])
+        assert rc == 0
+        assert "psnr_mean" in capsys.readouterr().out
