@@ -1,0 +1,134 @@
+"""Multi-chip correctness on the 8-device virtual CPU mesh (SURVEY.md §4):
+sharded vs single-device outputs identical; training step runs under DP and
+DP+spatial shardings; dryrun_multichip entry contract."""
+
+import importlib.util
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrin_tpu.config import ModelConfig
+from rrin_tpu.models.rrin import forward, init_params
+from rrin_tpu.parallel.sharding import (
+    batch_sharding,
+    make_mesh,
+    replicate_params,
+    shard_pairs,
+)
+
+CFG = ModelConfig()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.key(0), CFG)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8, (
+        "conftest must provide 8 virtual CPU devices; got "
+        f"{jax.devices()}"
+    )
+
+
+class TestShardedForward:
+    def test_dp_matches_single_device(self, params, rng):
+        mesh = make_mesh()  # 8x1
+        i0 = rng.random((8, 32, 48, 3), dtype=np.float32)
+        i1 = rng.random((8, 32, 48, 3), dtype=np.float32)
+        want = np.asarray(forward(params, jnp.asarray(i0), jnp.asarray(i1), 0.5, cfg=CFG))
+        pr = replicate_params(mesh, params)
+        s0, s1 = shard_pairs(mesh, i0, i1)
+        got = np.asarray(forward(pr, s0, s1, 0.5, cfg=CFG))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_dp_spatial_matches_single_device(self, params, rng):
+        mesh = make_mesh(n_data=4, n_spatial=2)
+        i0 = rng.random((4, 64, 48, 3), dtype=np.float32)
+        i1 = rng.random((4, 64, 48, 3), dtype=np.float32)
+        want = np.asarray(forward(params, jnp.asarray(i0), jnp.asarray(i1), 0.5, cfg=CFG))
+        pr = replicate_params(mesh, params)
+        s0, s1 = shard_pairs(mesh, i0, i1, spatial_dim=1)
+        got = np.asarray(forward(pr, s0, s1, 0.5, cfg=CFG))
+        # Spatial sharding changes conv reduction order at halos -> small fp drift.
+        np.testing.assert_allclose(got, want, atol=5e-4)
+
+    def test_output_sharding_preserved(self, params, rng):
+        mesh = make_mesh()
+        i0 = rng.random((8, 32, 48, 3), dtype=np.float32)
+        i1 = rng.random((8, 32, 48, 3), dtype=np.float32)
+        pr = replicate_params(mesh, params)
+        s0, s1 = shard_pairs(mesh, i0, i1)
+        out = forward(pr, s0, s1, 0.5, cfg=CFG)
+        # Output stays batch-sharded: no implicit full gather.
+        assert out.sharding.is_equivalent_to(batch_sharding(mesh), out.ndim)
+
+
+class TestShardedTraining:
+    def test_dp_train_step_runs_and_descends(self, rng):
+        from rrin_tpu.train import Trainer
+
+        mesh = make_mesh()
+        trainer = Trainer.create(
+            key=jax.random.key(1), mesh=mesh, compute_dtype=jnp.float32,
+            learning_rate=1e-3,
+        )
+        i0 = rng.random((8, 32, 32, 3), dtype=np.float32)
+        i1 = rng.random((8, 32, 32, 3), dtype=np.float32)
+        gt = ((i0 + i1) / 2).astype(np.float32)
+        losses = [trainer.step(i0, gt, i1) for _ in range(5)]
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], f"no descent: {losses}"
+
+    def test_dp_grads_match_single_device(self, rng):
+        """The ICI psum must reproduce single-device gradients exactly."""
+        import optax
+
+        from rrin_tpu.train import train_step
+
+        mesh = make_mesh()
+        params = init_params(jax.random.key(2), CFG)
+        opt = optax.sgd(1e-2)
+        opt_state = opt.init(params)
+        i0 = rng.random((8, 32, 32, 3), dtype=np.float32)
+        i1 = rng.random((8, 32, 32, 3), dtype=np.float32)
+        gt = rng.random((8, 32, 32, 3), dtype=np.float32)
+
+        # train_step donates params/opt_state; keep pristine copies for the
+        # sharded run.
+        pr = replicate_params(mesh, jax.tree.map(jnp.copy, params))
+        osr = replicate_params(mesh, jax.tree.map(jnp.copy, opt_state))
+        p1, _, loss1 = train_step(
+            params, opt_state, jnp.asarray(i0), jnp.asarray(gt), jnp.asarray(i1),
+            0.5, opt, cfg=CFG,
+        )
+        s0, sg, s1 = shard_pairs(mesh, i0, gt, i1)
+        p2, _, loss2 = train_step(pr, osr, s0, sg, s1, 0.5, opt, cfg=CFG)
+        np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestGraftEntry:
+    @pytest.fixture(scope="class")
+    def graft(self):
+        spec = importlib.util.spec_from_file_location(
+            "__graft_entry__", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_entry_compiles_and_runs(self, graft):
+        fn, args = graft.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape == (1, 256, 448, 3)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_dryrun_multichip_8(self, graft, capsys):
+        graft.dryrun_multichip(8)
+        assert "dryrun_multichip OK" in capsys.readouterr().out
