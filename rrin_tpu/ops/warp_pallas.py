@@ -1,0 +1,260 @@
+"""Pallas TPU kernel: backward bilinear warp (the project's custom kernel).
+
+Replaces the XLA gather path of ops/warp.py on TPU (BASELINE.json
+north_star: grid_sample becomes "a Pallas gather-interpolate kernel").
+Profiling showed XLA lowers the 4 bilinear taps to row-at-a-time gathers
+that consume ~50% of the cascade's runtime; this kernel recovers most of
+that with a VMEM-resident windowed gather design:
+
+  * Images are processed planar (B, 3, H, Wp), W padded to the 128-lane
+    width. The three channels share one index/mask computation per trip
+    (gather ops, not arithmetic, are the binding cost on the VPU).
+  * Grid = (batch, H/RB row-blocks). Each step DMAs a WIN-row full-width
+    window per channel from HBM into VMEM, centered on the output block:
+    vertical displacements up to (WIN-RB)/2 - 2 rows stay on the fast
+    path; a cheap XLA-side max-reduce routes larger flows to the
+    always-correct XLA gather fallback via lax.cond. Horizontal
+    displacement is unbounded (whole rows are resident).
+  * Mosaic's dynamic gather is per-tile (lane gather needs a 128-wide
+    operand; dynamic sublane slices must be 8-aligned), so the kernel
+    walks output in 128-column chunks and, per chunk, reduces the dynamic
+    source-row/source-tile ranges with vector min/max before looping:
+    smooth flow touches ~RB+spread rows and 1-3 column tiles instead of
+    the whole window.
+  * Per source row r: the row is broadcast to all sublanes with a one-hot
+    (RB x 8) matmul on the MXU (cheaper than a sublane gather + concat);
+    two lane gathers fetch the x0 / x0+1 taps; tile-match masks give
+    zeros-padding horizontally for free (arithmetic >> keeps negative x
+    off every tile); the two vertical taps share the same gathered row
+    through the weight field (y0==r)*(1-wy) + (y0+1==r)*wy, so 4 bilinear
+    taps cost 2 gathers per channel.
+
+Sampling semantics match ops/warp.py (grid_sample, zeros padding, both
+align_corners variants) to float32 accuracy; equivalence is asserted by
+tests/test_warp_pallas.py in interpret mode and on real TPU by the
+verify drives / benchmarks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rrin_tpu.ops.warp import warp_bilinear
+
+LANES = 128
+RB = 16  # output rows per grid step
+WIN_MAX = 64  # VMEM window rows (per channel, full width)
+
+# Tests set this to exercise the kernel in interpret mode on CPU.
+_FORCE_KERNEL = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _sample_coords_nhw(
+    flow: jnp.ndarray, height: int, width: int, align_corners: bool
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Absolute sample positions (sy, sx), each (B, H, W) float32."""
+    f = flow.astype(jnp.float32)
+    xs = jax.lax.broadcasted_iota(jnp.float32, f.shape[:-1], 2)
+    ys = jax.lax.broadcasted_iota(jnp.float32, f.shape[:-1], 1)
+    px = xs + f[..., 0]
+    py = ys + f[..., 1]
+    if align_corners:
+        return py, px
+    sx = px * (width / max(width - 1, 1)) - 0.5
+    sy = py * (height / max(height - 1, 1)) - 0.5
+    return sy, sx
+
+
+def _warp_kernel(H: int, Wp: int, win_rows: int):
+    """Kernel body builder; all sizes static. Channels are planar; the
+    image is zero-padded to Wp lanes so x >= W naturally samples zeros."""
+    n_oc = Wp // LANES
+
+    def kernel(img_ref, sxy_ref, out_ref, w0, w1, w2, sem):
+        b = pl.program_id(0)
+        rb = pl.program_id(1)
+        r0 = rb * RB
+        # 8-aligned window start (sublane-aligned DMA source offset).
+        ws = jnp.clip(r0 + RB // 2 - win_rows // 2, 0, H - win_rows)
+        ws = pl.multiple_of((ws >> 3) << 3, 8)
+
+        wrefs = (w0, w1, w2)
+        copies = [
+            pltpu.make_async_copy(
+                img_ref.at[b, c, pl.ds(ws, win_rows), :], wrefs[c], sem.at[c]
+            )
+            for c in range(3)
+        ]
+        for cp in copies:
+            cp.start()
+
+        sx = sxy_ref[0, 0]  # (RB, Wp)
+        sy = sxy_ref[0, 1]
+        x0f = jnp.floor(sx)
+        y0f = jnp.floor(sy)
+        wx = sx - x0f
+        wy = sy - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+        yl = y0 - ws  # local window row of the y0 tap
+
+        for cp in copies:
+            cp.wait()
+
+        for oc in range(n_oc):
+            sl = slice(oc * LANES, (oc + 1) * LANES)
+            x0c = x0[:, sl]
+            x1c = x0c + 1
+            wxc = wx[:, sl]
+            # x>=Wp -> tile-match fails; x in [W, Wp) samples the zero pad;
+            # x<0 -> arithmetic >> keeps it off every tile. So horizontal
+            # zeros padding needs no explicit masks at all.
+            cw0 = 1.0 - wxc
+            cw1 = wxc
+            xl0 = x0c & (LANES - 1)
+            xl1 = x1c & (LANES - 1)
+            xt0 = x0c >> 7
+            xt1 = x1c >> 7
+            ylc = yl[:, sl]
+            wyc = wy[:, sl]
+
+            rmin = jnp.clip(jnp.min(ylc), 0, win_rows - 1)
+            rmax = jnp.clip(jnp.max(ylc) + 1, 0, win_rows - 1)
+            tmin = jnp.clip(jnp.min(xt0), 0, n_oc - 1)
+            tmax = jnp.clip(jnp.max(xt1), 0, n_oc - 1)
+
+            def row_body(r, accs, ylc=ylc, wyc=wyc, xl0=xl0, xl1=xl1,
+                         xt0=xt0, xt1=xt1, cw0=cw0, cw1=cw1,
+                         tmin=tmin, tmax=tmax):
+                # Row r serves both vertical taps: y0==r and y0+1==r.
+                wrow = jnp.where(ylc == r, 1.0 - wyc, 0.0) + jnp.where(
+                    ylc == r - 1, wyc, 0.0
+                )
+                g8 = pl.multiple_of((r >> 3) * 8, 8)
+                ridx = jnp.full((8, LANES), r & 7, jnp.int32)
+
+                def tile_body(xt, accs, wrow=wrow, ridx=ridx):
+                    start = pl.multiple_of(xt * LANES, LANES)
+                    m0 = (xt0 == xt).astype(jnp.float32) * cw0
+                    m1 = (xt1 == xt).astype(jnp.float32) * cw1
+                    out = []
+                    for c in range(3):
+                        sub = wrefs[c][pl.ds(g8, 8), pl.ds(start, LANES)]
+                        # Exact row broadcast: constant-index sublane gather
+                        # (8 rows) stacked to the RB output rows.
+                        row8 = jnp.take_along_axis(sub, ridx, axis=0)
+                        rowb = jnp.concatenate([row8, row8], axis=0)
+                        gv0 = jnp.take_along_axis(rowb, xl0, axis=1)
+                        gv1 = jnp.take_along_axis(rowb, xl1, axis=1)
+                        out.append(accs[c] + wrow * (m0 * gv0 + m1 * gv1))
+                    return tuple(out)
+
+                return jax.lax.fori_loop(tmin, tmax + 1, tile_body, accs)
+
+            zero = jnp.zeros((RB, LANES), jnp.float32)
+            acc = jax.lax.fori_loop(rmin, rmax + 1, row_body, (zero, zero, zero))
+            for c in range(3):
+                out_ref[0, c, :, sl] = acc[c]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("align_corners",))
+def _warp_planar_pallas(
+    img_p: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, align_corners: bool
+) -> jnp.ndarray:
+    """img_p: (B, 3, H, Wp) f32 zero-padded; sx/sy: (B, H, Wp) f32."""
+    b, c, h, wp = img_p.shape
+    assert c == 3 and h % RB == 0 and wp % LANES == 0
+    win_rows = min(WIN_MAX, h)
+    sxy = jnp.stack([sx, sy], axis=1)  # (B, 2, H, Wp)
+
+    kernel = _warp_kernel(h, wp, win_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // RB),
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, wp), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(
+                (1, 2, RB, wp), lambda bi, ri: (bi, 0, ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, RB, wp), lambda bi, ri: (bi, 0, ri, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, wp), jnp.float32),
+            pltpu.VMEM((win_rows, wp), jnp.float32),
+            pltpu.VMEM((win_rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )(img_p, sxy)
+
+
+def _dy_fast_path_ok(sy: jnp.ndarray, height: int) -> jnp.ndarray:
+    """True iff all vertical displacements fit the VMEM window."""
+    win_rows = min(WIN_MAX, height)
+    bound = win_rows // 2 - RB // 2 - 2
+    rows = jax.lax.broadcasted_iota(jnp.float32, sy.shape, 1)
+    return jnp.max(jnp.abs(sy - rows)) <= bound
+
+
+def warp_one_pallas(
+    img: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = False
+) -> jnp.ndarray:
+    """Warp (B,H,W,C=3) by (B,H,W,2): Pallas fast path + XLA fallback."""
+    b, h, w, c = img.shape
+    # Compiled Mosaic kernels are TPU-only; on CPU/GPU backends the XLA
+    # gather path is the production implementation.
+    tpu_ok = jax.default_backend() == "tpu" or _FORCE_KERNEL
+    if not tpu_ok or c != 3 or h % RB or h < 32:
+        return warp_bilinear(img, flow, align_corners=align_corners)
+
+    sy, sx = _sample_coords_nhw(flow, h, w, align_corners)
+    wp = _round_up(w, LANES)
+    pad = wp - w
+    imgf = img.astype(jnp.float32)
+    if pad:
+        imgf = jnp.pad(imgf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        # Pad output columns sample nothing: x far out of range, y to row 0.
+        sx = jnp.pad(sx, ((0, 0), (0, 0), (0, pad)), constant_values=-2.0)
+        sy = jnp.pad(sy, ((0, 0), (0, 0), (0, pad)), constant_values=0.0)
+    img_planar = jnp.transpose(imgf, (0, 3, 1, 2))  # (B,3,H,Wp)
+
+    def fast(_):
+        out_p = _warp_planar_pallas(img_planar, sx, sy, align_corners)
+        out = jnp.transpose(out_p, (0, 2, 3, 1))
+        return out[:, :, :w, :]
+
+    def slow(_):
+        return warp_bilinear(img, flow, align_corners=align_corners)
+
+    return jax.lax.cond(
+        _dy_fast_path_ok(sy[:, :, :w], h), fast, slow, operand=None
+    )
+
+
+def warp_pair_pallas(
+    i0: jnp.ndarray,
+    i1: jnp.ndarray,
+    flow_t0: jnp.ndarray,
+    flow_t1: jnp.ndarray,
+    align_corners: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Both warps of the cascade through the Pallas kernel."""
+    g0 = warp_one_pallas(i0, flow_t0, align_corners=align_corners)
+    g1 = warp_one_pallas(i1, flow_t1, align_corners=align_corners)
+    return g0, g1

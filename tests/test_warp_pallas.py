@@ -1,0 +1,101 @@
+"""Pallas warp kernel vs the XLA reference path (interpret mode on CPU;
+real-TPU execution is covered by bench.py and the verify drive)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from rrin_tpu.ops.warp import warp_bilinear
+from rrin_tpu.ops.warp_pallas import (
+    RB,
+    WIN_MAX,
+    _dy_fast_path_ok,
+    warp_one_pallas,
+)
+
+
+def _run_pallas_interpret(img, flow, align_corners=False):
+    from rrin_tpu.ops import warp_pallas as wp
+
+    wp._FORCE_KERNEL = True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            return np.asarray(
+                warp_one_pallas(jnp.asarray(img), jnp.asarray(flow), align_corners)
+            )
+    finally:
+        wp._FORCE_KERNEL = False
+
+
+@pytest.fixture()
+def case(rng):
+    def make(b=1, h=64, w=128, flow_scale=3.0, flow_bias=(0.0, 0.0)):
+        img = rng.random((b, h, w, 3), dtype=np.float32)
+        flow = (rng.standard_normal((b, h, w, 2)) * flow_scale).astype(np.float32)
+        flow[..., 0] += flow_bias[0]
+        flow[..., 1] += flow_bias[1]
+        return img, flow
+
+    return make
+
+
+class TestWarpPallasParity:
+    @pytest.mark.parametrize("align_corners", [False, True])
+    def test_small_flow(self, case, align_corners):
+        img, flow = case()
+        got = _run_pallas_interpret(img, flow, align_corners)
+        want = np.asarray(
+            warp_bilinear(jnp.asarray(img), jnp.asarray(flow), align_corners)
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_non_128_width(self, case):
+        img, flow = case(h=64, w=200)
+        got = _run_pallas_interpret(img, flow)
+        want = np.asarray(warp_bilinear(jnp.asarray(img), jnp.asarray(flow)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_batch(self, case):
+        img, flow = case(b=3, h=32, w=128)
+        got = _run_pallas_interpret(img, flow)
+        want = np.asarray(warp_bilinear(jnp.asarray(img), jnp.asarray(flow)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_large_horizontal_flow_stays_fast_path(self, case):
+        # dx is unbounded on the fast path (full-width windows).
+        img, flow = case(h=64, w=256, flow_scale=1.0, flow_bias=(90.0, 0.0))
+        assert bool(_dy_fast_path_ok(
+            jnp.asarray(np.zeros((1, 64, 256)) + np.arange(64)[None, :, None],
+                        dtype=jnp.float32), 64))
+        got = _run_pallas_interpret(img, flow)
+        want = np.asarray(warp_bilinear(jnp.asarray(img), jnp.asarray(flow)))
+        # large |sx| values put floor() on 1-ulp boundaries: allow tap flips
+        # whose bilinear weight is ~0.
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_large_vertical_flow_falls_back(self, case):
+        # |dy| beyond the window bound must route to the XLA path (exact).
+        img, flow = case(h=64, w=128, flow_scale=1.0, flow_bias=(0.0, 50.0))
+        got = _run_pallas_interpret(img, flow)
+        want = np.asarray(warp_bilinear(jnp.asarray(img), jnp.asarray(flow)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_out_of_bounds_zero_padding(self, case):
+        img, _ = case(h=32, w=128)
+        flow = np.full((1, 32, 128, 2), 7.3, dtype=np.float32)
+        got = _run_pallas_interpret(img, flow)
+        want = np.asarray(warp_bilinear(jnp.asarray(img), jnp.asarray(flow)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        # bottom-right region must be exactly zero
+        assert np.all(got[0, -4:, -4:, :] == 0.0)
+
+    def test_integer_shift_exact(self, rng):
+        img = rng.random((1, 32, 128, 3), dtype=np.float32)
+        flow = np.zeros((1, 32, 128, 2), dtype=np.float32)
+        flow[..., 1] = 5.0
+        got = _run_pallas_interpret(img, flow, align_corners=True)
+        np.testing.assert_allclose(got[0, :-5], img[0, 5:], atol=1e-6)
+        np.testing.assert_allclose(got[0, -5:], 0.0, atol=1e-7)
