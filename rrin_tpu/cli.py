@@ -55,6 +55,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use align_corners=True grid_sample semantics")
     p.add_argument("--report", default=None,
                    help="write the JSON pipeline report to this path")
+    p.add_argument("--segment-pairs", type=int, default=0, metavar="N",
+                   help="run as a resumable segmented job of N source pairs "
+                   "per segment (0 = single pass, no manifest)")
+    p.add_argument("--no-resume", action="store_true",
+                   help="with --segment-pairs: restart instead of resuming")
+    p.add_argument("--keep-segments", action="store_true",
+                   help="with --segment-pairs: keep segment files after concat")
+    p.add_argument("--status", action="store_true",
+                   help="print the resumable-job status for --output and exit")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR")
     p.add_argument("--quiet", "-q", action="store_true")
     return p
 
@@ -89,16 +100,30 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 2
         exp = args.sf.bit_length() - 1
 
+    if args.status:
+        import json
+
+        from rrin_tpu.resumable import job_status
+
+        status = job_status(args.output)
+        print(json.dumps(status if status else {"error": "no manifest"}, indent=2))
+        return 0 if status else 1
+
     from rrin_tpu.config import ModelConfig
     from rrin_tpu.pipeline import interpolate_video
 
     params = _load_params(args.ckpt, args.quiet)
     cfg = ModelConfig(align_corners=args.align_corners)
 
-    report = interpolate_video(
-        args.input,
-        args.output,
-        params,
+    import contextlib
+
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_cm = jax.profiler.trace(args.profile)
+
+    common = dict(
         cfg=cfg,
         exp=exp,
         mode=args.mode,
@@ -109,11 +134,28 @@ def main(argv: Optional[List[str]] = None) -> int:
         fourcc=args.fourcc,
         progress=not args.quiet,
     )
+    with profile_cm:
+        if args.segment_pairs > 0:
+            import json
+
+            from rrin_tpu.resumable import interpolate_video_resumable
+
+            manifest = interpolate_video_resumable(
+                args.input, args.output, params,
+                segment_pairs=args.segment_pairs,
+                resume=not args.no_resume,
+                keep_segments=args.keep_segments,
+                **common,
+            )
+            out_json = json.dumps(manifest, indent=2)
+        else:
+            report = interpolate_video(args.input, args.output, params, **common)
+            out_json = report.to_json()
     if args.report:
         with open(args.report, "w") as f:
-            f.write(report.to_json())
+            f.write(out_json)
     if not args.quiet:
-        print(report.to_json())
+        print(out_json)
     return 0
 
 

@@ -23,6 +23,8 @@ try:
 except ImportError:  # pragma: no cover - cv2 is present in the target env
     cv2 = None
 
+from rrin_tpu import native
+
 
 @dataclass
 class VideoMeta:
@@ -75,7 +77,7 @@ class VideoReader:
                 ok, frame = self._cap.read()
                 if not ok:
                     break
-                rgb = np.ascontiguousarray(frame[:, :, ::-1])
+                rgb = native.swap_rb(np.ascontiguousarray(frame))
                 while not self._stop.is_set():
                     try:
                         self._q.put(rgb, timeout=0.1)
@@ -148,7 +150,7 @@ class VideoWriter:
                 frame = self._q.get()
                 if frame is self._SENTINEL:
                     break
-                self._writer.write(frame[:, :, ::-1])  # RGB -> BGR
+                self._writer.write(native.swap_rb(frame))  # RGB -> BGR
                 self.frames_written += 1
         except BaseException as e:
             self._err = e

@@ -205,11 +205,20 @@ def interpolate_video(
     queue_depth: int = 8,
     max_in_flight: int = 2,
     progress: bool = False,
+    start_frame: int = 0,
+    max_pairs: Optional[int] = None,
+    write_trailing_frame: bool = True,
 ) -> PipelineReport:
     """2^exp-upsample ``input_path``'s frame rate into ``output_path``.
 
     Output frame count = 2^exp * (N - 1) + 1 for N input frames
     (original frames interleaved with interpolated ones, SURVEY.md §3.2).
+
+    ``start_frame``/``max_pairs``/``write_trailing_frame`` carve out a
+    contiguous sub-range of source pairs — the building block of segmented
+    resumable jobs (rrin_tpu.resumable, SURVEY.md §5 failure recovery):
+    consecutive segments concatenate seamlessly when only the last one
+    writes the trailing source frame.
     """
     from rrin_tpu.io.video import VideoReader, VideoWriter
 
@@ -219,7 +228,7 @@ def interpolate_video(
     )
     m = interp.mids_per_pair
 
-    reader = VideoReader(input_path, queue_depth=queue_depth)
+    reader = VideoReader(input_path, queue_depth=queue_depth, start_frame=start_frame)
     meta = reader.meta
     out_fps = fps_out if fps_out is not None else meta.fps * (1 << exp)
     writer = VideoWriter(
@@ -276,6 +285,7 @@ def interpolate_video(
         while len(inflight) > max_in_flight:
             drain_one()
 
+    pairs_done = 0
     try:
         t_dec = time.perf_counter()
         for frame in reader:
@@ -285,18 +295,21 @@ def interpolate_video(
             if prev is not None:
                 pending_pairs.append(np.stack([prev, frame]))
                 pending_lefts.append(prev)
+                pairs_done += 1
                 if len(pending_pairs) == batch_size:
                     dispatch(pending_pairs, pending_lefts)
                     pending_pairs, pending_lefts = [], []
             prev = frame
             if progress and frames_in % 100 == 0:
                 print(f"\r[rrin-tpu] {frames_in} frames decoded", end="", flush=True)
+            if max_pairs is not None and pairs_done >= max_pairs:
+                break
             t_dec = time.perf_counter()
         if pending_pairs:
             dispatch(pending_pairs, pending_lefts)
         while inflight:
             drain_one()
-        if last_frame is not None:
+        if write_trailing_frame and last_frame is not None:
             writer.write(last_frame)
         if frames_in == 0:
             raise ValueError(f"no frames decoded from {input_path}")
