@@ -212,10 +212,16 @@ def _dy_fast_path_ok(sy: jnp.ndarray, height: int) -> jnp.ndarray:
     return jnp.max(jnp.abs(sy - rows)) <= bound
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def warp_one_pallas(
     img: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = False
 ) -> jnp.ndarray:
-    """Warp (B,H,W,C=3) by (B,H,W,2): Pallas fast path + XLA fallback."""
+    """Warp (B,H,W,C=3) by (B,H,W,2): Pallas fast path + XLA fallback.
+
+    Differentiable: the backward pass reuses the XLA gather formulation
+    (jax.vjp of ops.warp.warp_bilinear), so training (rrin_tpu/train.py)
+    can run the fast kernel forward with exact gradients.
+    """
     b, h, w, c = img.shape
     # Compiled Mosaic kernels are TPU-only; on CPU/GPU backends the XLA
     # gather path is the production implementation.
@@ -247,6 +253,22 @@ def warp_one_pallas(
     )
 
 
+def _warp_one_fwd(img, flow, align_corners):
+    return warp_one_pallas(img, flow, align_corners), (img, flow)
+
+
+def _warp_one_bwd(align_corners, res, g):
+    img, flow = res
+    _, vjp = jax.vjp(
+        lambda im, fl: warp_bilinear(im, fl, align_corners=align_corners),
+        img, flow,
+    )
+    return vjp(g)
+
+
+warp_one_pallas.defvjp(_warp_one_fwd, _warp_one_bwd)
+
+
 def warp_pair_pallas(
     i0: jnp.ndarray,
     i1: jnp.ndarray,
@@ -255,6 +277,6 @@ def warp_pair_pallas(
     align_corners: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Both warps of the cascade through the Pallas kernel."""
-    g0 = warp_one_pallas(i0, flow_t0, align_corners=align_corners)
-    g1 = warp_one_pallas(i1, flow_t1, align_corners=align_corners)
+    g0 = warp_one_pallas(i0, flow_t0, align_corners)
+    g1 = warp_one_pallas(i1, flow_t1, align_corners)
     return g0, g1

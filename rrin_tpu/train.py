@@ -155,15 +155,16 @@ def triplet_batches(
     Yields (i0, gt, i1) float32 NHWC batches in [0,1]. Crops are aligned to
     the /16 padding requirement so no padding is needed in training.
     """
+    ch, cw = crop_hw
+    if ch % 16 or cw % 16:
+        raise ValueError("crop dims must be multiples of 16")
+
     from rrin_tpu.eval import find_triplets, load_triplet
 
     dirs = find_triplets(root)
     if not dirs:
         raise FileNotFoundError(f"no triplets under {root}")
     rng = np.random.default_rng(seed)
-    ch, cw = crop_hw
-    if ch % 16 or cw % 16:
-        raise ValueError("crop dims must be multiples of 16")
     epoch = 0
     while epochs is None or epoch < epochs:
         order = rng.permutation(len(dirs))
@@ -208,7 +209,20 @@ def main(argv=None) -> int:
     p.add_argument("--data-parallel", type=int, default=0,
                    help="devices for DP; 0 = all")
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (numeric sanitizer, "
+                   "SURVEY.md §5) — slow, for debugging divergence")
     args = p.parse_args(argv)
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    from rrin_tpu.parallel.distributed import initialize as dist_init
+
+    ctx = dist_init()
+    if ctx.process_count > 1:
+        print(f"[rrin-tpu-train] multi-host: process {ctx.process_index}/"
+              f"{ctx.process_count}, {ctx.global_device_count} devices")
 
     mesh = None
     if args.data_parallel != 1:

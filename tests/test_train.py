@@ -1,0 +1,94 @@
+"""Training subsystem tests: loss math, descent, grad-through-pallas-vjp,
+data feed, checkpoint save from trainer (SURVEY.md §2.1 'not present in
+reference' — new capability)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrin_tpu.config import ModelConfig
+from rrin_tpu.train import Trainer, charbonnier, triplet_batches
+
+CFG = ModelConfig()
+
+
+class TestLoss:
+    def test_charbonnier_at_zero(self):
+        x = jnp.zeros((2, 4, 4, 3))
+        assert float(charbonnier(x, x)) < 2e-6
+
+    def test_charbonnier_approx_l1(self):
+        a = jnp.zeros((1, 8, 8, 3))
+        b = jnp.full((1, 8, 8, 3), 0.5)
+        np.testing.assert_allclose(float(charbonnier(a, b)), 0.5, atol=1e-4)
+
+
+class TestTrainer:
+    def test_single_device_descends(self, rng):
+        trainer = Trainer.create(
+            key=jax.random.key(0), learning_rate=1e-3,
+            compute_dtype=jnp.float32,
+        )
+        i0 = rng.random((2, 32, 32, 3), dtype=np.float32)
+        i1 = rng.random((2, 32, 32, 3), dtype=np.float32)
+        gt = ((i0 + i1) / 2).astype(np.float32)
+        losses = [trainer.step(i0, gt, i1) for _ in range(6)]
+        assert losses[-1] < losses[0]
+        assert trainer.step_count == 6
+
+    def test_grad_through_pallas_custom_vjp(self, rng):
+        """The warp custom_vjp must produce the same gradients as the pure
+        XLA path (it delegates to jax.vjp of warp_bilinear)."""
+        from rrin_tpu.ops.warp import warp_bilinear
+        from rrin_tpu.ops.warp_pallas import warp_one_pallas
+
+        img = jnp.asarray(rng.random((1, 32, 128, 3), dtype=np.float32))
+        flow = jnp.asarray(
+            (rng.standard_normal((1, 32, 128, 2)) * 2).astype(np.float32)
+        )
+
+        def loss_p(fl):
+            return jnp.sum(warp_one_pallas(img, fl, False) ** 2)
+
+        def loss_x(fl):
+            return jnp.sum(warp_bilinear(img, fl) ** 2)
+
+        gp = jax.grad(loss_p)(flow)
+        gx = jax.grad(loss_x)(flow)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), atol=1e-4)
+
+
+class TestDataFeed:
+    def test_triplet_batches(self, tmp_path, rng):
+        from rrin_tpu.eval import synthesize_triplets
+
+        root = str(tmp_path / "trips")
+        synthesize_triplets(root, count=5, hw=(64, 96))
+        it = triplet_batches(root, batch_size=2, crop_hw=(32, 48), seed=1)
+        i0, gt, i1 = next(it)
+        assert i0.shape == (2, 32, 48, 3)
+        assert i0.dtype == np.float32
+        assert 0.0 <= i0.min() and i0.max() <= 1.0
+
+    def test_bad_crop_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="multiples of 16"):
+            next(triplet_batches("/nonexistent", 1, crop_hw=(30, 48)))
+
+    def test_train_cli_smoke(self, tmp_path, capsys):
+        from rrin_tpu.eval import synthesize_triplets
+        from rrin_tpu.train import main as train_main
+
+        root = str(tmp_path / "trips2")
+        synthesize_triplets(root, count=4, hw=(64, 96))
+        ckpt = str(tmp_path / "w.npz")
+        rc = train_main([
+            "--data", root, "--steps", "3", "--batch", "2",
+            "--crop", "32", "48", "--ckpt-out", ckpt, "--fp32",
+            "--data-parallel", "1",
+        ])
+        assert rc == 0
+        from rrin_tpu.params import load_params
+
+        params = load_params(ckpt)
+        assert "flow" in params and "final" in params
