@@ -55,19 +55,19 @@ def _conv_init(key: jax.Array, kh: int, kw: int, cin: int, cout: int) -> Params:
 
 
 def _conv(x: jnp.ndarray, p: Params) -> jnp.ndarray:
-    w = p["w"].astype(x.dtype)
-    # In fp32 (parity/debug) force true-fp32 MXU passes; the perf path is
-    # bf16 where DEFAULT is already the native MXU precision.
-    precision = jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
-    y = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=_DN,
-        precision=precision,
-    )
-    return y + p["b"].astype(x.dtype)
+    """conv + bias, no activation (head convs)."""
+    from rrin_tpu.ops.conv_phase import conv2d_fused
+
+    return conv2d_fused(x, p["w"], p["b"], None)
+
+
+def _conv_act(x: jnp.ndarray, p: Params, slope: float) -> jnp.ndarray:
+    """conv + bias + LeakyReLU, fused. Low-channel bf16 convs route to the
+    phase-packed Pallas kernel (ops/conv_phase.py); everything else is the
+    XLA conv (fp32 parity path uses HIGHEST-precision MXU passes)."""
+    from rrin_tpu.ops.conv_phase import conv2d_fused
+
+    return conv2d_fused(x, p["w"], p["b"], slope)
 
 
 def _lrelu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
@@ -121,23 +121,23 @@ def unet_init(key: jax.Array, in_ch: int, out_ch: int, cfg: ModelConfig) -> Para
 
 def _down(x: jnp.ndarray, p: Params, slope: float) -> jnp.ndarray:
     x = avg_pool_2x(x)
-    x = _lrelu(_conv(x, p["conv1"]), slope)
-    x = _lrelu(_conv(x, p["conv2"]), slope)
+    x = _conv_act(x, p["conv1"], slope)
+    x = _conv_act(x, p["conv2"], slope)
     return x
 
 
 def _up(x: jnp.ndarray, skip: jnp.ndarray, p: Params, slope: float) -> jnp.ndarray:
     x = upsample_2x_bilinear(x)
-    x = _lrelu(_conv(x, p["conv1"]), slope)
-    x = _lrelu(_conv(jnp.concatenate([x, skip], axis=-1), p["conv2"]), slope)
+    x = _conv_act(x, p["conv1"], slope)
+    x = _conv_act(jnp.concatenate([x, skip], axis=-1), p["conv2"], slope)
     return x
 
 
 def unet_apply(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     """Apply one U-Net. x: (B, H, W, in_ch), H and W divisible by 16."""
     s = cfg.leaky_slope
-    x = _lrelu(_conv(x, p["conv1"]), s)
-    s1 = _lrelu(_conv(x, p["conv2"]), s)
+    x = _conv_act(x, p["conv1"], s)
+    s1 = _conv_act(x, p["conv2"], s)
     s2 = _down(s1, p["down1"], s)
     s3 = _down(s2, p["down2"], s)
     s4 = _down(s3, p["down3"], s)
