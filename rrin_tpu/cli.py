@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--batch-size", "-b", type=int, default=1,
                    help="frame pairs per device step")
+    p.add_argument("--data-parallel", "-d", type=int, default=1,
+                   help="shard frame-pair batches over N devices via a "
+                   "1-D ICI data mesh (0 = all local devices)")
     p.add_argument(
         "--mode", choices=("direct", "cascade"), default="direct",
         help="direct: each intermediate at its own t in one pass; "
@@ -133,6 +136,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         fps_out=args.fps,
         fourcc=args.fourcc,
         progress=not args.quiet,
+        data_parallel=args.data_parallel,
     )
     with profile_cm:
         if args.segment_pairs > 0:

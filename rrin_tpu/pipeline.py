@@ -145,7 +145,14 @@ class PipelineReport:
 
 
 class Interpolator:
-    """Jit-managing wrapper around :func:`device_step` for one video config."""
+    """Jit-managing wrapper around :func:`device_step` for one video config.
+
+    With ``data_parallel > 1`` (or 0 = all local devices), frame-pair
+    batches shard over a 1-D ``data`` mesh axis riding ICI (BASELINE.json
+    config 5); params are replicated and XLA emits the collectives. The
+    batch must be divisible by the mesh size (interpolate_video pads tail
+    batches, so any batch_size works at the CLI level).
+    """
 
     def __init__(
         self,
@@ -155,6 +162,7 @@ class Interpolator:
         mode: str = "direct",
         compute_dtype: str = "bfloat16",
         use_pallas: bool = False,
+        data_parallel: int = 1,
     ):
         if mode not in ("direct", "cascade"):
             raise ValueError(f"unknown mode: {mode!r}")
@@ -166,10 +174,23 @@ class Interpolator:
         self.mode = mode
         self.compute_dtype = _dtype_from_name(compute_dtype)
         self.use_pallas = use_pallas
+        self.mesh = None
+        if data_parallel != 1:
+            from rrin_tpu.parallel.sharding import make_mesh, replicate_params
+
+            n = data_parallel if data_parallel > 0 else 0
+            mesh = make_mesh(n_data=n)
+            if mesh.devices.size > 1:
+                self.mesh = mesh
+                self.params = replicate_params(mesh, params)
 
     @property
     def mids_per_pair(self) -> int:
         return (1 << self.exp) - 1
+
+    @property
+    def shard_count(self) -> int:
+        return int(self.mesh.devices.size) if self.mesh is not None else 1
 
     def step(self, pairs_u8: np.ndarray) -> jax.Array:
         """Dispatch one device step; returns the (async) device result."""
@@ -178,9 +199,15 @@ class Interpolator:
             padded_size(h, self.cfg.pad_multiple) - h,
             padded_size(w, self.cfg.pad_multiple) - w,
         )
+        if self.mesh is not None:
+            from rrin_tpu.parallel.sharding import shard_pairs
+
+            batch = shard_pairs(self.mesh, pairs_u8)
+        else:
+            batch = jnp.asarray(pairs_u8)
         return device_step(
             self.params,
-            jnp.asarray(pairs_u8),
+            batch,
             exp=self.exp,
             mode=self.mode,
             cfg=self.cfg,
@@ -208,6 +235,7 @@ def interpolate_video(
     start_frame: int = 0,
     max_pairs: Optional[int] = None,
     write_trailing_frame: bool = True,
+    data_parallel: int = 1,
 ) -> PipelineReport:
     """2^exp-upsample ``input_path``'s frame rate into ``output_path``.
 
@@ -224,9 +252,11 @@ def interpolate_video(
 
     interp = Interpolator(
         params, cfg, exp=exp, mode=mode, compute_dtype=compute_dtype,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, data_parallel=data_parallel,
     )
     m = interp.mids_per_pair
+    # Sharded batches must divide evenly over the data mesh axis.
+    batch_size = -(-batch_size // interp.shard_count) * interp.shard_count
 
     reader = VideoReader(input_path, queue_depth=queue_depth, start_frame=start_frame)
     meta = reader.meta

@@ -57,6 +57,7 @@ def interpolate_video_resumable(
     resume: bool = True,
     keep_segments: bool = False,
     progress: bool = False,
+    data_parallel: int = 1,
 ) -> Dict[str, Any]:
     """Run (or resume) a segmented interpolation job; returns the manifest."""
     from rrin_tpu.io.video import probe_video
@@ -122,6 +123,7 @@ def interpolate_video_resumable(
                 start_frame=first_pair,
                 max_pairs=pairs,
                 write_trailing_frame=last,
+                data_parallel=data_parallel,
             )
             seg["done"] = True
             seg["frames"] = report.frames_out

@@ -171,3 +171,28 @@ class TestEval:
         rc = eval_main(["--data", root, "--fp32", "--no-pallas"])
         assert rc == 0
         assert "psnr_mean" in capsys.readouterr().out
+
+
+class TestShardedPipeline:
+    def test_dp_pipeline_matches_single_device(self, video, params, tmp_path):
+        """BASELINE.json config 5: frame pairs DP-sharded over the mesh.
+        Output must match the single-device pipeline exactly (same device
+        math; encode is deterministic)."""
+        out1 = str(tmp_path / "dp1.mp4")
+        out8 = str(tmp_path / "dp8.mp4")
+        interpolate_video(video, out1, params, batch_size=8,
+                          compute_dtype="float32", data_parallel=1)
+        interpolate_video(video, out8, params, batch_size=8,
+                          compute_dtype="float32", data_parallel=0)
+        f1 = list(VideoReader(out1))
+        f8 = list(VideoReader(out8))
+        assert len(f1) == len(f8) == 2 * (N_FRAMES - 1) + 1
+        for a, b in zip(f1, f8):
+            np.testing.assert_array_equal(a, b)
+
+    def test_dp_batch_rounded_up(self, video, params, tmp_path):
+        # batch_size 3 with an 8-device mesh rounds to 8 transparently.
+        out = str(tmp_path / "dp3.mp4")
+        report = interpolate_video(video, out, params, batch_size=3,
+                                   compute_dtype="float32", data_parallel=0)
+        assert report.frames_out == 2 * (N_FRAMES - 1) + 1
