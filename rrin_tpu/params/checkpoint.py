@@ -41,11 +41,32 @@ def unflatten_params(flat: Mapping[str, np.ndarray]) -> Params:
 
 
 def save_params(path: str, params: Params) -> None:
-    """Save as a flat .npz (the native checkpoint format)."""
+    """Save weights: flat .npz by default, or an Orbax checkpoint when
+    ``path`` ends with ``.orbax`` (multi-host-safe, SURVEY.md §5)."""
+    if path.endswith(".orbax"):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(
+                os.path.abspath(path),
+                {k: np.asarray(v) for k, v in flatten_params(params).items()},
+                force=True,
+            )
+        return
     np.savez(path, **flatten_params(params))
 
 
 def load_params(path: str) -> Params:
+    if path.endswith(".orbax"):
+        import os
+
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            flat = ckptr.restore(os.path.abspath(path))
+        return unflatten_params(flat)
     with np.load(path) as data:
         return unflatten_params({k: data[k] for k in data.files})
 

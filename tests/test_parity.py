@@ -131,3 +131,52 @@ class TestFullCascadeParity:
         assert half.dtype == np.float32
         # bf16 convs: expect ~1e-2 agreement on [0,1] outputs.
         assert np.abs(full - half).mean() < 2e-2
+
+
+class TestParityMetrics:
+    """BASELINE.json metric 3: PSNR/SSIM parity with the PyTorch reference
+    expressed in the metric itself (not just elementwise tolerance)."""
+
+    def test_psnr_vs_oracle_fp32(self, shared_net, rng):
+        from rrin_tpu.metrics import psnr, ssim
+
+        tnet, params = shared_net
+        i0 = rng.random((1, 64, 96, 3), dtype=np.float32)
+        i1 = np.clip(i0 + 0.1 * rng.standard_normal(i0.shape), 0, 1).astype(
+            np.float32
+        )
+        with torch.no_grad():
+            want = _nhwc(tnet(_nchw(i0), _nchw(i1), t=0.5))
+        got = forward(params, jnp.asarray(i0), jnp.asarray(i1), 0.5, cfg=CFG)
+        p = float(psnr(got, jnp.asarray(want))[0])
+        s = float(ssim(got, jnp.asarray(want))[0])
+        assert p > 60.0, f"fp32 parity PSNR {p} dB"
+        assert s > 0.999, f"fp32 parity SSIM {s}"
+
+    def test_psnr_vs_oracle_bf16(self, shared_net, rng):
+        from rrin_tpu.metrics import psnr
+
+        tnet, params = shared_net
+        i0 = rng.random((1, 64, 96, 3), dtype=np.float32)
+        i1 = np.clip(i0 + 0.1 * rng.standard_normal(i0.shape), 0, 1).astype(
+            np.float32
+        )
+        with torch.no_grad():
+            want = _nhwc(tnet(_nchw(i0), _nchw(i1), t=0.5))
+        got = forward(
+            params, jnp.asarray(i0), jnp.asarray(i1), 0.5, cfg=CFG,
+            compute_dtype=jnp.bfloat16,
+        )
+        p = float(psnr(got, jnp.asarray(want))[0])
+        # bf16 production path: comfortably above perceptual thresholds.
+        assert p > 40.0, f"bf16 parity PSNR {p} dB"
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_round_trip(self, shared_net, tmp_path):
+        _, params = shared_net
+        p = str(tmp_path / "ckpt.orbax")
+        save_params(p, params)
+        loaded = load_params(p)
+        for k, v in flatten_params(params).items():
+            np.testing.assert_array_equal(flatten_params(loaded)[k], v)
