@@ -44,10 +44,21 @@ RB = 8  # output rows per grid step
 _FORCE_KERNEL = False
 
 
-def _pick_phases(cin: int, cout: int, width: int) -> Optional[int]:
-    """Largest packing factor P with P*max(cin,cout) <= 128 and P | W."""
+def _pick_phases(cin: int, cout: int, width: int, k: int) -> Optional[int]:
+    """Largest packing factor P that fills the output lanes.
+
+    Constraints: N = P*cout <= 128 (packed output stays one lane tile and
+    the final reshape is free); K = P*cin <= 512 (VMEM window size; K may
+    exceed 128 — dots handle multi-tile contractions); 8P | W (DMA boxes
+    need 8-aligned sublane extents after packing); and the block-Toeplitz
+    redundancy P*(1 + ceil((k-1)/P))/k stays under ~3x so the extra MACs
+    never outweigh the lane-utilization win.
+    """
     for p in (16, 8, 4, 2):
-        if p * max(cin, cout) <= LANES and width % p == 0:
+        if p * cout > LANES or p * cin > 4 * LANES or width % (8 * p):
+            continue
+        q_count = 1 + -(-(k - 1) // p)
+        if p * q_count / k <= 3.0:
             return p
     return None
 
@@ -64,7 +75,7 @@ def supports(
         return None
     if h % RB or h < RB:
         return None
-    return _pick_phases(cin, cout, w)
+    return _pick_phases(cin, cout, w, kh)
 
 
 def _build_b2(w: jnp.ndarray, p: int) -> jnp.ndarray:
@@ -140,12 +151,13 @@ def _conv_phase_impl(
     b2 = _build_b2(w.astype(x.dtype), p)
     m = width // p
     lin, lout = p * cin, p * cout
-    if lin < LANES:
-        # DMA boxes need a 128-lane minor dim: zero-pad the packed
+    lin_pad = -(-lin // LANES) * LANES
+    if lin < lin_pad:
+        # DMA boxes need a 128-multiple lane minor dim: zero-pad the packed
         # channels; matching zero rows in B2 keep the dots exact.
-        xr = jnp.pad(xr, ((0, 0), (0, 0), (0, 0), (0, LANES - lin)))
-        b2 = jnp.pad(b2, ((0, 0), (0, LANES - lin), (0, 0)))
-        lin = LANES
+        xr = jnp.pad(xr, ((0, 0), (0, 0), (0, 0), (0, lin_pad - lin)))
+        b2 = jnp.pad(b2, ((0, 0), (0, lin_pad - lin), (0, 0)))
+        lin = lin_pad
     bias_lanes = jnp.tile(bias.astype(jnp.float32), (p,)).reshape(1, lout)
 
     kernel = _phase_kernel(k, q_count, m, lin, lout, slope, x.dtype)

@@ -34,7 +34,8 @@ SHAPES = [
     (32, 32, 7, 4),    # stem conv2 (the hot one)
     (32, 64, 5, 2),    # down1 conv1
     (64, 64, 5, 2),    # down1 conv2
-    (64, 32, 3, 2),    # up4 conv1 / conv2
+    (64, 32, 3, 4),    # up4 conv1 / conv2 (K = 256: multi-tile contraction)
+    (128, 64, 3, 2),   # up3 conv1 (cin > 128/P: relies on K > 128)
     (32, 2, 3, 4),     # mask head
 ]
 
