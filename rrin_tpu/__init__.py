@@ -26,7 +26,7 @@ Public API (mirrors the reference surface, SURVEY.md §1 L3/L5):
     >>> it = net(i0, i1, t=0.5)        # NHWC float32 in [0,1]
 """
 
-from rrin_tpu.config import ModelConfig, PipelineConfig
+from rrin_tpu.config import ModelConfig
 from rrin_tpu.models.rrin import RRIN, init_params, forward
 
 __version__ = "0.1.0"
@@ -34,7 +34,6 @@ __version__ = "0.1.0"
 __all__ = [
     "RRIN",
     "ModelConfig",
-    "PipelineConfig",
     "init_params",
     "forward",
     "__version__",

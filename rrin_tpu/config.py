@@ -39,21 +39,3 @@ class ModelConfig:
     def widths(self) -> Tuple[int, int, int, int, int]:
         w = self.base_width
         return (w, 2 * w, 4 * w, 8 * w, 16 * w)
-
-
-@dataclasses.dataclass(frozen=True)
-class PipelineConfig:
-    """Video streaming pipeline knobs (SURVEY.md §1 L4, §7.2 step 3)."""
-
-    # Frame pairs batched per device step (throughput knob).
-    batch_size: int = 1
-    # 2^k frame-rate upsampling exponent (BASELINE.json configs 3-4).
-    exp: int = 1
-    # Compute dtype inside the U-Nets ("bfloat16" or "float32").
-    compute_dtype: str = "bfloat16"
-    # Use the Pallas fused warp+blend kernel (else pure-XLA gather path).
-    use_pallas_warp: bool = True
-    # Host-side ring buffer depth (decode->compute->encode threads).
-    queue_depth: int = 8
-    # Data-parallel mesh size; 0 = use all local devices.
-    data_parallel: int = 0

@@ -110,10 +110,15 @@ def evaluate(
     t_start = time.perf_counter()
     n_frames = 0
 
-    # Group by resolution to keep jit signatures few.
+    # Group by resolution to keep jit signatures few (header read only —
+    # full triplets are loaded lazily per batch below).
+    import cv2
+
     by_res: Dict[Tuple[int, int], List[str]] = {}
     for d in triplet_dirs:
-        im1, _, _ = load_triplet(d)
+        im1 = cv2.imread(os.path.join(d, FRAME_NAMES[0]), cv2.IMREAD_COLOR)
+        if im1 is None:
+            raise FileNotFoundError(os.path.join(d, FRAME_NAMES[0]))
         by_res.setdefault(im1.shape[:2], []).append(d)
 
     for res, dirs in by_res.items():

@@ -59,7 +59,9 @@ def _as_t(t: Union[float, jnp.ndarray], batch: int) -> jnp.ndarray:
     return t.reshape(-1, 1, 1, 1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "use_pallas"))
+@partial(
+    jax.jit, static_argnames=("cfg", "compute_dtype", "use_pallas", "remat")
+)
 def forward(
     params: Params,
     i0: jnp.ndarray,
@@ -68,6 +70,7 @@ def forward(
     cfg: ModelConfig = ModelConfig(),
     compute_dtype: jnp.dtype = jnp.float32,
     use_pallas: bool = False,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Interpolate the frame at time t between i0 and i1.
 
@@ -79,6 +82,8 @@ def forward(
       compute_dtype: dtype for the U-Net convs (bfloat16 on TPU for the MXU
         fast path); warp, time-projection and blend stay float32.
       use_pallas: route the double warp through the Pallas kernel.
+      remat: rematerialize each U-Net under autodiff (jax.checkpoint) —
+        trades FLOPs for activation memory so large training crops fit HBM.
 
     Returns (B, H, W, 3) float32 frame in [0, 1].
     """
@@ -96,9 +101,13 @@ def forward(
     i1f = i1.astype(f32)
     cd = compute_dtype
 
+    apply_fn = (
+        jax.checkpoint(unet_apply, static_argnums=(2,)) if remat else unet_apply
+    )
+
     def run_unet(name: str, *feats: jnp.ndarray) -> jnp.ndarray:
         x = jnp.concatenate([f.astype(cd) for f in feats], axis=-1)
-        return unet_apply(params[name], x, cfg).astype(f32)
+        return apply_fn(params[name], x, cfg).astype(f32)
 
     # 1. coarse bidirectional flow
     flows = run_unet("flow", i0f, i1f)

@@ -33,8 +33,6 @@ from rrin_tpu.ops.resize import avg_pool_2x, upsample_2x_bilinear
 
 Params = Dict[str, Any]
 
-_DN = ("NHWC", "HWIO", "NHWC")
-
 
 def _conv_init(key: jax.Array, kh: int, kw: int, cin: int, cout: int) -> Params:
     """PyTorch Conv2d-style default init (kaiming_uniform a=sqrt(5)).
@@ -68,10 +66,6 @@ def _conv_act(x: jnp.ndarray, p: Params, slope: float) -> jnp.ndarray:
     from rrin_tpu.ops.conv_phase import conv2d_fused
 
     return conv2d_fused(x, p["w"], p["b"], slope)
-
-
-def _lrelu(x: jnp.ndarray, slope: float) -> jnp.ndarray:
-    return jnp.where(x >= 0, x, slope * x)
 
 
 def unet_init(key: jax.Array, in_ch: int, out_ch: int, cfg: ModelConfig) -> Params:

@@ -57,16 +57,18 @@ def loss_fn(
     cfg: ModelConfig = ModelConfig(),
     compute_dtype: Any = jnp.float32,
     use_pallas: bool = False,
+    remat: bool = False,
 ) -> jnp.ndarray:
     pred = forward(
-        params, i0, i1, t, cfg=cfg, compute_dtype=compute_dtype, use_pallas=use_pallas
+        params, i0, i1, t, cfg=cfg, compute_dtype=compute_dtype,
+        use_pallas=use_pallas, remat=remat,
     )
     return charbonnier(pred, gt.astype(jnp.float32))
 
 
 @partial(
     jax.jit,
-    static_argnames=("optimizer", "cfg", "compute_dtype", "use_pallas"),
+    static_argnames=("optimizer", "cfg", "compute_dtype", "use_pallas", "remat"),
     donate_argnames=("params", "opt_state"),
 )
 def train_step(
@@ -80,12 +82,13 @@ def train_step(
     cfg: ModelConfig = ModelConfig(),
     compute_dtype: Any = jnp.float32,
     use_pallas: bool = False,
+    remat: bool = False,
 ) -> Tuple[Params, Any, jnp.ndarray]:
     """One SGD update. Shard the batch dims over a Mesh and this same jit
     becomes the multi-chip data-parallel step (gradients psum over ICI)."""
     loss, grads = jax.value_and_grad(loss_fn)(
         params, i0, gt, i1, t, cfg=cfg, compute_dtype=compute_dtype,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, remat=remat,
     )
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
@@ -103,6 +106,7 @@ class Trainer:
     cfg: ModelConfig = ModelConfig()
     compute_dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    remat: bool = False
     mesh: Optional[Any] = None  # jax.sharding.Mesh
     spatial_dim: Optional[int] = None
     step_count: int = 0
@@ -132,6 +136,11 @@ class Trainer:
 
     def step(self, i0: np.ndarray, gt: np.ndarray, i1: np.ndarray,
              t: Any = 0.5) -> float:
+        if self.mesh is not None and i0.shape[0] % self.mesh.devices.size:
+            raise ValueError(
+                f"batch size {i0.shape[0]} must be divisible by the mesh "
+                f"size {self.mesh.devices.size} for data-parallel training"
+            )
         arrays = (jnp.asarray(i0), jnp.asarray(gt), jnp.asarray(i1))
         if self.mesh is not None:
             from rrin_tpu.parallel.sharding import shard_pairs
@@ -140,7 +149,7 @@ class Trainer:
         self.params, self.opt_state, loss = train_step(
             self.params, self.opt_state, *arrays, t, self.optimizer,
             cfg=self.cfg, compute_dtype=self.compute_dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, remat=self.remat,
         )
         self.step_count += 1
         return float(loss)
@@ -212,6 +221,9 @@ def main(argv=None) -> int:
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (numeric sanitizer, "
                    "SURVEY.md §5) — slow, for debugging divergence")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize U-Nets under autodiff "
+                   "(jax.checkpoint): fits much larger crops in HBM")
     args = p.parse_args(argv)
 
     if args.debug_nans:
@@ -226,13 +238,19 @@ def main(argv=None) -> int:
 
     mesh = None
     if args.data_parallel != 1:
+        import math
+
         from rrin_tpu.parallel.sharding import make_mesh
 
-        n = args.data_parallel if args.data_parallel > 0 else 0
-        try:
-            mesh = make_mesh(n_data=n)
-        except ValueError:
-            mesh = None
+        n = args.data_parallel if args.data_parallel > 0 else len(jax.devices())
+        # The batch must divide over the mesh; shrink to the largest
+        # compatible device count rather than failing mid-run.
+        n = math.gcd(n, args.batch)
+        if n > 1:
+            try:
+                mesh = make_mesh(n_data=n)
+            except ValueError:
+                mesh = None
         if mesh is not None and mesh.devices.size == 1:
             mesh = None  # single device: skip sharding machinery
 
@@ -249,6 +267,7 @@ def main(argv=None) -> int:
     trainer = Trainer.create(
         learning_rate=args.lr, mesh=mesh, params=params,
         compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        remat=args.remat,
     )
     batches = triplet_batches(args.data, args.batch, tuple(args.crop))
     t0 = time.perf_counter()

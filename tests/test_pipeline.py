@@ -196,3 +196,17 @@ class TestShardedPipeline:
         report = interpolate_video(video, out, params, batch_size=3,
                                    compute_dtype="float32", data_parallel=0)
         assert report.frames_out == 2 * (N_FRAMES - 1) + 1
+
+
+class TestOddResolutions:
+    @pytest.mark.parametrize("hw", [(222, 398), (50, 70)])
+    def test_non_multiple_video_end_to_end(self, params, tmp_path, hw):
+        """Arbitrary video sizes pad to /16 on-device and crop back
+        (SURVEY.md §1 L4); kernel dispatch falls back cleanly when the
+        padded width doesn't fit a packing factor."""
+        path = _make_video(str(tmp_path / "odd.mp4"), hw=hw)
+        out = str(tmp_path / "odd_out.mp4")
+        report = interpolate_video(path, out, params, compute_dtype="float32")
+        assert report.frames_out == 2 * (N_FRAMES - 1) + 1
+        meta = probe_video(out)
+        assert (meta.height, meta.width) == hw

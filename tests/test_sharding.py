@@ -68,6 +68,7 @@ class TestShardedForward:
         assert out.sharding.is_equivalent_to(batch_sharding(mesh), out.ndim)
 
 
+@pytest.mark.slow
 class TestShardedTraining:
     def test_dp_train_step_runs_and_descends(self, rng):
         from rrin_tpu.train import Trainer
@@ -113,6 +114,7 @@ class TestShardedTraining:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 class TestGraftEntry:
     @pytest.fixture(scope="class")
     def graft(self):

@@ -24,6 +24,7 @@ class TestLoss:
         np.testing.assert_allclose(float(charbonnier(a, b)), 0.5, atol=1e-4)
 
 
+@pytest.mark.slow
 class TestTrainer:
     def test_single_device_descends(self, rng):
         trainer = Trainer.create(
@@ -92,3 +93,30 @@ class TestDataFeed:
 
         params = load_params(ckpt)
         assert "flow" in params and "final" in params
+
+
+class TestRemat:
+    def test_remat_matches_plain_gradients(self, rng):
+        """jax.checkpoint must not change the math, only the memory plan."""
+        import optax
+
+        from rrin_tpu.models.rrin import init_params
+        from rrin_tpu.train import train_step
+
+        params = init_params(jax.random.key(5), CFG)
+        opt = optax.sgd(1e-2)
+        i0 = rng.random((1, 32, 32, 3), dtype=np.float32)
+        i1 = rng.random((1, 32, 32, 3), dtype=np.float32)
+        gt = rng.random((1, 32, 32, 3), dtype=np.float32)
+        outs = []
+        for remat in (False, True):
+            p = jax.tree.map(jnp.copy, params)
+            s = opt.init(p)
+            p2, _, loss = train_step(
+                p, s, jnp.asarray(i0), jnp.asarray(gt), jnp.asarray(i1),
+                0.5, opt, cfg=CFG, remat=remat,
+            )
+            outs.append((float(loss), p2))
+        assert abs(outs[0][0] - outs[1][0]) < 1e-6
+        for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
