@@ -205,14 +205,18 @@ def conv2d_fused(
     TPU, else the XLA conv. Gradients always via the XLA formulation.
     """
     p = supports(x.shape, w.shape)
-    use_kernel = (
-        p is not None
-        and x.dtype == jnp.bfloat16
-        and (jax.default_backend() == "tpu" or _FORCE_KERNEL)
-    )
-    if use_kernel:
+    if p is None or x.dtype != jnp.bfloat16:
+        return _conv_xla(x, w, bias, slope)
+    if _FORCE_KERNEL:  # interpret-mode tests on CPU
         return _conv_phase_impl(x, w.astype(x.dtype), bias, p, slope)
-    return _conv_xla(x, w, bias, slope)
+    # The Mosaic kernel only lowers for TPU; pick the branch per PLATFORM
+    # at lowering time (a process-level default_backend check is wrong when
+    # e.g. a CPU-mesh dryrun runs inside a TPU-default process).
+    return jax.lax.platform_dependent(
+        x, w, bias,
+        tpu=lambda a, b, c: _conv_phase_impl(a, b.astype(a.dtype), c, p, slope),
+        default=lambda a, b, c: _conv_xla(a, b, c, slope),
+    )
 
 
 def _conv_fwd(x, w, bias, slope):

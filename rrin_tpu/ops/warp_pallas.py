@@ -223,11 +223,23 @@ def warp_one_pallas(
     can run the fast kernel forward with exact gradients.
     """
     b, h, w, c = img.shape
-    # Compiled Mosaic kernels are TPU-only; on CPU/GPU backends the XLA
-    # gather path is the production implementation.
-    tpu_ok = jax.default_backend() == "tpu" or _FORCE_KERNEL
-    if not tpu_ok or c != 3 or h % RB or h < 32:
+    if c != 3 or h % RB or h < 32:
         return warp_bilinear(img, flow, align_corners=align_corners)
+    if not _FORCE_KERNEL:  # interpret-mode tests on CPU force the kernel
+        # The Mosaic kernel only lowers for TPU; select per PLATFORM at
+        # lowering time (not by the process default backend).
+        return jax.lax.platform_dependent(
+            img, flow,
+            tpu=lambda a, b_: _warp_one_tpu(a, b_, align_corners),
+            default=lambda a, b_: warp_bilinear(a, b_, align_corners=align_corners),
+        )
+    return _warp_one_tpu(img, flow, align_corners)
+
+
+def _warp_one_tpu(
+    img: jnp.ndarray, flow: jnp.ndarray, align_corners: bool
+) -> jnp.ndarray:
+    b, h, w, c = img.shape
 
     sy, sx = _sample_coords_nhw(flow, h, w, align_corners)
     wp = _round_up(w, LANES)
