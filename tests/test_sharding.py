@@ -4,6 +4,7 @@ DP+spatial shardings; dryrun_multichip entry contract."""
 
 import importlib.util
 import os
+import subprocess
 import sys
 
 import jax
@@ -134,3 +135,26 @@ class TestGraftEntry:
     def test_dryrun_multichip_8(self, graft, capsys):
         graft.dryrun_multichip(8)
         assert "dryrun_multichip OK" in capsys.readouterr().out
+
+    def test_dryrun_multichip_4(self, graft, capsys):
+        graft.dryrun_multichip(4)
+        assert "dryrun_multichip OK" in capsys.readouterr().out
+
+    def test_dryrun_self_provisions_without_flags(self):
+        """Driver scenario: fresh process, NO XLA_FLAGS, default backend
+        whatever the machine has — the dryrun must self-provision CPU
+        devices and never dispatch on a non-CPU device (its body asserts
+        every param buffer is on CPU)."""
+        env = {
+            k: v for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+        }
+        entry = os.path.join(
+            os.path.dirname(__file__), "..", "__graft_entry__.py"
+        )
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(entry), "--dryrun", "8"],
+            env=env, capture_output=True, text=True, timeout=900,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "dryrun_multichip OK" in res.stdout
