@@ -35,6 +35,23 @@ def find_triplets(root: str) -> List[str]:
     return out
 
 
+def image_hw(path: str) -> Tuple[int, int]:
+    """(height, width) of an image, reading only the PNG header when
+    possible (no full decode); falls back to cv2 for other formats."""
+    with open(path, "rb") as f:
+        head = f.read(26)
+    if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR":
+        w = int.from_bytes(head[16:20], "big")
+        h = int.from_bytes(head[20:24], "big")
+        return h, w
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return img.shape[:2]
+
+
 def load_triplet(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     import cv2
 
@@ -110,16 +127,12 @@ def evaluate(
     t_start = time.perf_counter()
     n_frames = 0
 
-    # Group by resolution to keep jit signatures few (header read only —
+    # Group by resolution to keep jit signatures few (PNG-header read only —
     # full triplets are loaded lazily per batch below).
-    import cv2
-
     by_res: Dict[Tuple[int, int], List[str]] = {}
     for d in triplet_dirs:
-        im1 = cv2.imread(os.path.join(d, FRAME_NAMES[0]), cv2.IMREAD_COLOR)
-        if im1 is None:
-            raise FileNotFoundError(os.path.join(d, FRAME_NAMES[0]))
-        by_res.setdefault(im1.shape[:2], []).append(d)
+        hw = image_hw(os.path.join(d, FRAME_NAMES[0]))
+        by_res.setdefault(hw, []).append(d)
 
     for res, dirs in by_res.items():
         for i in range(0, len(dirs), batch_size):

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from dataclasses import dataclass
 from typing import Iterator, Optional, Tuple
 
@@ -104,13 +105,17 @@ class VideoReader:
 
     def close(self) -> None:
         self._stop.set()
-        # Drain so the decode thread can observe the stop flag and exit.
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
-        self._thread.join(timeout=5.0)
+        # Drain until the thread exits: the producer can re-fill the queue
+        # after a single drain (it blocks on put for at most 0.1s before
+        # re-checking the stop flag), so drain+join in a loop.
+        deadline = time.monotonic() + 10.0
+        while self._thread.is_alive() and time.monotonic() < deadline:
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.1)
 
 
 class VideoWriter:
@@ -154,16 +159,37 @@ class VideoWriter:
                 self.frames_written += 1
         except BaseException as e:
             self._err = e
+            # Unblock any producer waiting on a full queue; write()/close()
+            # re-check _err between put attempts and surface it.
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
         finally:
             self._writer.release()
 
+    def _put_checked(self, item) -> None:
+        """put() that can never deadlock on a dead/erroring encoder thread."""
+        while True:
+            if self._err is not None:
+                raise self._err
+            if not self._thread.is_alive():
+                raise IOError(f"encoder thread for {self.path} exited")
+            try:
+                self._q.put(item, timeout=0.2)
+                return
+            except queue.Full:
+                continue
+
     def write(self, frame: np.ndarray) -> None:
-        if self._err is not None:
-            raise self._err
-        self._q.put(frame)
+        self._put_checked(frame)
 
     def close(self) -> None:
-        self._q.put(self._SENTINEL)
+        try:
+            self._put_checked(self._SENTINEL)
+        except IOError:
+            pass  # thread already gone; fall through to surface _err
         self._thread.join()
         if self._err is not None:
             raise self._err

@@ -71,36 +71,60 @@ def load_params(path: str) -> Params:
         return unflatten_params({k: data[k] for k in data.files})
 
 
-def convert_torch_state_dict(state_dict: Mapping[str, Any]) -> Params:
+def convert_torch_state_dict(
+    state_dict: Mapping[str, Any], strict: bool = True
+) -> Params:
     """Convert a reference-layout torch state_dict to our param pytree.
 
     Accepts torch tensors or numpy arrays as values; strips a ``module.``
     prefix; transposes conv weights OIHW -> HWIO.
+
+    strict=True (the parity-test mode) raises on any unrecognized key;
+    strict=False skips non-weight entries (real checkpoints often carry
+    epoch counters, optimizer state, etc. — SURVEY.md App-C item 7) and
+    reports them on stderr.
     """
     flat: Dict[str, np.ndarray] = {}
+    skipped = []
     for key, val in state_dict.items():
         if key.startswith("module."):
             key = key[len("module.") :]
         arr = np.asarray(val.detach().cpu().numpy() if hasattr(val, "detach") else val)
-        if key.endswith(".weight"):
-            if arr.ndim != 4:
-                raise ValueError(f"unexpected weight rank for {key}: {arr.shape}")
+        if key.endswith(".weight") and arr.ndim == 4:
             flat[key[: -len(".weight")] + ".w"] = np.transpose(arr, (2, 3, 1, 0))
-        elif key.endswith(".bias"):
+        elif key.endswith(".bias") and arr.ndim == 1:
             flat[key[: -len(".bias")] + ".b"] = arr
+        elif strict:
+            raise ValueError(
+                f"unrecognized state_dict key: {key} (shape {arr.shape}); "
+                "pass strict=False to skip non-weight entries"
+            )
         else:
-            raise ValueError(f"unrecognized state_dict key: {key}")
+            skipped.append(key)
+    if skipped:
+        import sys
+
+        print(
+            f"[rrin-tpu] skipped {len(skipped)} non-weight state_dict "
+            f"key(s): {', '.join(skipped[:8])}"
+            + (" ..." if len(skipped) > 8 else ""),
+            file=sys.stderr,
+        )
     return unflatten_params(flat)
 
 
-def load_torch_checkpoint(path: str) -> Params:
-    """Load a reference ``.pth``/``.pth.tar`` checkpoint (requires torch)."""
+def load_torch_checkpoint(path: str, strict: bool = False) -> Params:
+    """Load a reference ``.pth``/``.pth.tar`` checkpoint (requires torch).
+
+    Lenient by default: entries that are not conv weights/biases (epoch
+    counters, optimizer state) are skipped with a warning.
+    """
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(obj, Mapping) and "state_dict" in obj:
         obj = obj["state_dict"]
-    return convert_torch_state_dict(obj)
+    return convert_torch_state_dict(obj, strict=strict)
 
 
 def params_to_torch_state_dict(params: Params) -> Dict[str, Any]:

@@ -168,11 +168,34 @@ def triplet_batches(
     if ch % 16 or cw % 16:
         raise ValueError("crop dims must be multiples of 16")
 
-    from rrin_tpu.eval import find_triplets, load_triplet
+    import os
 
-    dirs = find_triplets(root)
-    if not dirs:
+    from rrin_tpu.eval import FRAME_NAMES, find_triplets, image_hw, load_triplet
+
+    # Filter undersized triplets ONCE up front (header-only reads) so every
+    # yielded batch has exactly batch_size items: ragged batches would trip
+    # the data-parallel divisibility check and force jit retraces.
+    all_dirs = find_triplets(root)
+    if not all_dirs:
         raise FileNotFoundError(f"no triplets under {root}")
+    dirs = []
+    for d in all_dirs:
+        h, w = image_hw(os.path.join(d, FRAME_NAMES[0]))
+        if h >= ch and w >= cw:
+            dirs.append(d)
+    if len(dirs) < len(all_dirs):
+        import sys
+
+        print(
+            f"[rrin-tpu-train] dropped {len(all_dirs) - len(dirs)} triplet(s) "
+            f"smaller than the {ch}x{cw} crop",
+            file=sys.stderr,
+        )
+    if len(dirs) < batch_size:
+        raise ValueError(
+            f"only {len(dirs)} usable triplet(s) under {root} for "
+            f"batch_size={batch_size}"
+        )
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:
@@ -182,16 +205,12 @@ def triplet_batches(
             b0, bg, b1 = [], [], []
             for im1, im2, im3 in ims:
                 h, w = im1.shape[:2]
-                if h < ch or w < cw:
-                    continue
                 y = rng.integers(0, h - ch + 1)
                 x = rng.integers(0, w - cw + 1)
                 sl = np.s_[y : y + ch, x : x + cw]
                 b0.append(im1[sl])
                 bg.append(im2[sl])
                 b1.append(im3[sl])
-            if not b0:
-                continue
             yield (
                 np.stack(b0).astype(np.float32) / 255.0,
                 np.stack(bg).astype(np.float32) / 255.0,
