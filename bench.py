@@ -12,7 +12,13 @@ north star (>=5x a PyTorch-GPU baseline) is unmeasurable here; an
 RTX-2080-class GPU is typically ~50-100x the CPU figure, i.e. a
 vs_baseline of ~250-500 corresponds to ~5x GPU parity.
 
+The driver-mode single line also carries (in "detail") BASELINE.json
+metric 1 — Vimeo-size 448x256 batch-8 frames/sec/chip — and an on-device
+self-check of both Mosaic kernels against their XLA references (>60 dB
+PSNR; SURVEY.md §4 parity bar on real TPU, not just interpret mode).
+
 Usage: python bench.py [--size 1080p|720p|vimeo] [--iters N] [--full-json]
+                       [--skip-extras] [--selfcheck-only]
 """
 
 from __future__ import annotations
@@ -27,11 +33,71 @@ import numpy as np
 # see BASELINE.md "measured baselines" table.
 TORCH_CPU_BASELINE_FPS = {
     "1080p": 0.00528,
-    "720p": None,  # not measured
+    "720p": 0.0281,
     "vimeo": 0.168,
 }
 
 SIZES = {"1080p": (1088, 1920), "720p": (736, 1280), "vimeo": (256, 448)}
+
+
+def _psnr_db(ref: np.ndarray, got: np.ndarray) -> float:
+    ref = np.asarray(ref, np.float64)
+    got = np.asarray(got, np.float64)
+    mse = float(np.mean((ref - got) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    peak = float(np.max(np.abs(ref))) or 1.0
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def run_selfcheck() -> dict:
+    """On-device numerical gate: both Mosaic kernels vs XLA references.
+
+    Returns {"warp_psnr_db", "conv_psnr_db", "ok"}; kernels only lower on
+    TPU, so on other backends this reports skipped=True.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": True, "backend": jax.default_backend()}
+
+    from rrin_tpu.ops.conv_phase import _conv_phase_impl, _conv_xla, supports
+    from rrin_tpu.ops.warp import warp_bilinear
+    from rrin_tpu.ops.warp_pallas import warp_one_pallas
+
+    rng = np.random.default_rng(7)
+    report = {}
+
+    # Warp kernel: smooth bounded flow keeps the Pallas fast path active.
+    img = jnp.asarray(rng.random((1, 256, 448, 3), dtype=np.float32))
+    flow = jnp.asarray(
+        (rng.random((1, 256, 448, 2), dtype=np.float32) - 0.5) * 8.0
+    )
+    ref = np.asarray(jax.jit(warp_bilinear)(img, flow))
+    got = np.asarray(warp_one_pallas(img, flow, False))
+    report["warp_psnr_db"] = round(_psnr_db(ref, got), 1)
+
+    # Phase-conv kernel: the stem conv2 pattern (7x7, 32->32, bf16).
+    x = jnp.asarray(
+        rng.random((1, 64, 448, 32), dtype=np.float32), jnp.bfloat16
+    )
+    w = jnp.asarray(
+        (rng.random((7, 7, 32, 32), dtype=np.float32) - 0.5) * 0.1
+    )
+    b = jnp.asarray((rng.random(32, dtype=np.float32) - 0.5) * 0.1)
+    p = supports(x.shape, w.shape)
+    assert p, "selfcheck shape must route to the phase-conv kernel"
+    refc = np.asarray(_conv_xla(x, w, b, 0.1), np.float32)
+    gotc = np.asarray(
+        _conv_phase_impl(x, w.astype(x.dtype), b, p, 0.1), np.float32
+    )
+    report["conv_psnr_db"] = round(_psnr_db(refc, gotc), 1)
+
+    report["ok"] = bool(
+        report["warp_psnr_db"] > 60.0 and report["conv_psnr_db"] > 60.0
+    )
+    return report
 
 
 def run_bench(size: str = "1080p", iters: int = 10, batch: int = 1,
@@ -97,12 +163,39 @@ def main() -> int:
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--full-json", action="store_true",
                    help="pretty-print with detail (driver mode prints 1 line)")
+    p.add_argument("--skip-extras", action="store_true",
+                   help="headline metric only: skip the 448x256 batch-8 "
+                   "measurement and the on-device kernel selfcheck")
+    p.add_argument("--selfcheck-only", action="store_true",
+                   help="run only the Mosaic-vs-XLA kernel parity gate")
     args = p.parse_args()
+
+    if args.selfcheck_only:
+        print(json.dumps({"selfcheck": run_selfcheck()}))
+        return 0
+
     r = run_bench(args.size, args.iters, args.batch, use_pallas=not args.no_pallas)
+    if not args.skip_extras:
+        # BASELINE.json metric 1: Vimeo-size 448x256 batch-8 fps/chip.
+        v = run_bench("vimeo", max(args.iters, 10), batch=8,
+                      use_pallas=not args.no_pallas)
+        r["detail"]["vimeo_448x256_b8_fps_per_chip"] = v["value"]
+        r["detail"]["vimeo_vs_baseline"] = v["vs_baseline"]
+        # SURVEY.md §4: kernel parity ON DEVICE, recorded as an artifact.
+        r["detail"]["selfcheck"] = run_selfcheck()
+
     if args.full_json:
         print(json.dumps(r, indent=2))
     else:
         line = {k: r[k] for k in ("metric", "value", "unit", "vs_baseline")}
+        if not args.skip_extras:
+            d = r["detail"]
+            line["detail"] = {
+                "vimeo_448x256_b8_fps_per_chip":
+                    d["vimeo_448x256_b8_fps_per_chip"],
+                "vimeo_vs_baseline": d["vimeo_vs_baseline"],
+                "selfcheck": d["selfcheck"],
+            }
         print(json.dumps(line))
     return 0
 
