@@ -117,7 +117,7 @@ def run_bench(size: str = "1080p", iters: int = 10, batch: int = 1,
 
     def step(a, b):
         return forward(params, a, b, 0.5, cfg=cfg, compute_dtype=jnp.bfloat16,
-                       use_pallas=use_pallas)
+                       use_pallas=use_pallas, packed=use_pallas)
 
     # Warm-up: compile + remote program load (can dominate on tunneled TPU).
     t0 = time.perf_counter()

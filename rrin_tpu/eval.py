@@ -145,7 +145,7 @@ def evaluate(
             i1p, _ = pad_to_multiple(jnp.asarray(i1), cfg.pad_multiple)
             pred = forward(
                 params, i0p, i1p, 0.5, cfg=cfg, compute_dtype=cd,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, packed=use_pallas,
             )
             pred = unpad(pred, hw)
             p = np.asarray(psnr(pred, jnp.asarray(gt)))

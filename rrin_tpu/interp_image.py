@@ -36,7 +36,7 @@ def interpolate_pair(params, im1, im3, t=0.5, cfg=None, compute_dtype="float32",
     i0p, hw = pad_to_multiple(i0, cfg.pad_multiple)
     i1p, _ = pad_to_multiple(i1, cfg.pad_multiple)
     pred = forward(params, i0p, i1p, t, cfg=cfg, compute_dtype=cd,
-                   use_pallas=use_pallas)
+                   use_pallas=use_pallas, packed=use_pallas)
     pred = unpad(pred, hw)[0]
     return np.asarray(jnp.round(jnp.clip(pred, 0, 1) * 255.0)).astype("uint8")
 

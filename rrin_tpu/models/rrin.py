@@ -60,7 +60,8 @@ def _as_t(t: Union[float, jnp.ndarray], batch: int) -> jnp.ndarray:
 
 
 @partial(
-    jax.jit, static_argnames=("cfg", "compute_dtype", "use_pallas", "remat")
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "use_pallas", "remat", "packed"),
 )
 def forward(
     params: Params,
@@ -71,6 +72,7 @@ def forward(
     compute_dtype: jnp.dtype = jnp.float32,
     use_pallas: bool = False,
     remat: bool = False,
+    packed: bool = False,
 ) -> jnp.ndarray:
     """Interpolate the frame at time t between i0 and i1.
 
@@ -84,6 +86,11 @@ def forward(
       use_pallas: route the double warp through the Pallas kernel.
       remat: rematerialize each U-Net under autodiff (jax.checkpoint) —
         trades FLOPs for activation memory so large training crops fit HBM.
+      packed: run the U-Nets in the carried packed layout
+        (models/unet.unet_apply_packed) — the inference fast path that
+        removes the per-kernel layout round-trips. INFERENCE ONLY (the
+        packed conv has no VJP); silently falls back to the plain path
+        when the shape/config does not support it.
 
     Returns (B, H, W, 3) float32 frame in [0, 1].
     """
@@ -101,8 +108,17 @@ def forward(
     i1f = i1.astype(f32)
     cd = compute_dtype
 
+    from rrin_tpu.models.unet import packed_supported, unet_apply_packed
+
+    if packed and remat:
+        raise ValueError("packed=True is inference-only (no remat/VJP)")
+    base_fn = (
+        unet_apply_packed
+        if packed and packed_supported(i0.shape[-3], i0.shape[-2], cfg)
+        else unet_apply
+    )
     apply_fn = (
-        jax.checkpoint(unet_apply, static_argnums=(2,)) if remat else unet_apply
+        jax.checkpoint(base_fn, static_argnums=(2,)) if remat else base_fn
     )
 
     def run_unet(name: str, *feats: jnp.ndarray) -> jnp.ndarray:
@@ -151,6 +167,7 @@ class RRIN:
     cfg: ModelConfig = ModelConfig()
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
+    packed: Optional[bool] = None  # None: follow use_pallas
 
     @classmethod
     def init(cls, key: Optional[jax.Array] = None, cfg: ModelConfig = ModelConfig(), **kw) -> "RRIN":
@@ -167,6 +184,7 @@ class RRIN:
             cfg=self.cfg,
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
+            packed=self.use_pallas if self.packed is None else self.packed,
         )
 
     # Alias matching the reference method name.

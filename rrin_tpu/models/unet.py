@@ -141,3 +141,137 @@ def unet_apply(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     x = _up(x, s2, p["up3"], s)
     x = _up(x, s1, p["up4"], s)
     return _conv(x, p["conv3"])
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout fast path (inference).
+#
+# Levels 0-2 of the U-Net run in the carried packed layout of
+# ops/packed.py with the pad-free multi-input conv kernel of
+# ops/conv_packed.py: P halves per level (4 -> 2 -> 1) so M (the sublane
+# dim) is CONSTANT and pool/upsample are pure lane ops; skip concats are
+# fused into the conv's contraction (dual-operand kernel) and never
+# materialize. Levels 3-4 (C >= 256 at tiny widths) keep plain NHWC XLA
+# convs. The only layout copies left per U-Net: the entry pack, the
+# level-2<->3 boundary (slice + plain pool / plain upsample + pad), and
+# the head unpack.
+#
+# Static offset plan (chosen so every conv's group shift
+# s_i = (off_i - hh - off_out)/P is integer per operand; dual-operand
+# convs need off_1 === off_2 (mod P)):
+#
+#   entry pack @1 -> conv1 ->2 -> conv2 ->3 (=s1) -> pool(d=1) -> @1
+#   -> d1c1 ->1 -> d1c2 ->1 (=s2) -> pool(d=1) -> @0 (P=1, level 2)
+#   -> d2c1 ->0 -> d2c2 ->0 (=s3)
+#   [plain levels 3-4: down3, down4, up1]
+#   up2: plain upsample -> pad-pack @0 -> c1 ->0 -> c2(+s3) ->0
+#   up3: packed upsample -> @0 (P=2) -> c1 ->1 -> c2(+s2) ->0
+#   up4: packed upsample -> @0 (P=4) -> c1 ->3 -> c2(+s1) ->2
+#   head conv3 ->1 -> unpack
+# ---------------------------------------------------------------------------
+
+_PK = {
+    "entry": 1, "c1": 2, "c2": 3, "d1c1": 1, "d1c2": 1,
+    "l2": 0, "d2c1": 0, "d2c2": 0, "u2c1": 0, "u2c2": 0,
+    "u3c1": 1, "u3c2": 0, "u4c1": 3, "u4c2": 2, "head": 1,
+}
+
+
+def packed_supported(h: int, w: int, cfg: ModelConfig) -> bool:
+    """Whether the packed fast path applies to these shapes + config."""
+    from rrin_tpu.ops.conv_packed import min_h
+
+    if (cfg.stem_kernel, cfg.down_kernels[0], cfg.base_width) != (7, 5, 32):
+        return False  # the offset plan is solved for the App-B architecture
+    return h % 16 == 0 and w % 16 == 0 and h // 2 >= min_h(cfg.stem_kernel)
+
+
+def _packed_m0(w: int) -> int:
+    # Storage must cover offset 3 + W at level 0 (P=4); the level-2
+    # tensors reuse the same M as their (padded) width.
+    return -(-(w + 6) // 4 // 8) * 8
+
+
+def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """unet_apply in the carried packed layout (inference fast path).
+
+    Numerically equivalent to :func:`unet_apply` up to conv accumulation
+    order (tests/test_unet_packed.py). Inference-only: the packed conv has
+    no VJP — training uses the plain path.
+    """
+    from rrin_tpu.ops.conv_packed import conv_packed, min_h
+    from rrin_tpu.ops.packed import (
+        PackedSpec,
+        avg_pool_2x_packed,
+        pack,
+        unpack,
+        upsample_2x_packed,
+    )
+    from rrin_tpu.ops.resize import avg_pool_2x, upsample_2x_bilinear
+
+    s = cfg.leaky_slope
+    b, h, w, cin = x.shape
+    assert packed_supported(h, w, cfg)
+    m0 = _packed_m0(w)
+    # Level 2 runs the P=1 kernel only when its H is still kernel-shaped;
+    # otherwise those four convs stay plain XLA (identical math).
+    l2_kernel = (h // 4) % 8 == 0 and h // 4 >= min_h(3)
+
+    def conv(parts, prm, off_out, slope=s):
+        return conv_packed(parts, prm["w"], prm["b"], off_out, slope)
+
+    # Stem + down1: P=4 then P=2, packed end-to-end.
+    xp, sp = pack(x, 4, _PK["entry"], m0, c_pad=32)
+    xp, sp = conv([(xp, sp, cin)], p["conv1"], _PK["c1"])
+    s1, s1s = conv([(xp, sp, 32)], p["conv2"], _PK["c2"])
+    t, ts = avg_pool_2x_packed(s1, s1s)
+    t, ts = conv([(t, ts, 32)], p["down1"]["conv1"], _PK["d1c1"])
+    s2, s2s = conv([(t, ts, 64)], p["down1"]["conv2"], _PK["d1c2"])
+    t, ts = avg_pool_2x_packed(s2, s2s)  # level 2, P=1, off 0
+
+    if l2_kernel:
+        t, ts = conv([(t, ts, 64)], p["down2"]["conv1"], _PK["d2c1"])
+        s3, s3s = conv([(t, ts, 128)], p["down2"]["conv2"], _PK["d2c2"])
+        s3n = unpack(s3, s3s)
+    else:
+        xn = unpack(t, ts)
+        xn = _conv_act(xn, p["down2"]["conv1"], s)
+        s3n = _conv_act(xn, p["down2"]["conv2"], s)
+        s3, s3s = pack(s3n, 1, _PK["l2"], m0)
+
+    # Levels 3-4: plain NHWC at exact widths.
+    s4 = _down(s3n, p["down3"], s)
+    xn = _down(s4, p["down4"], s)
+    xn = _up(xn, s4, p["up1"], s)
+
+    # up2 (level 2): plain upsample, then packed convs with fused concat.
+    xu = upsample_2x_bilinear(xn)
+    if l2_kernel:
+        t, ts = pack(xu, 1, _PK["l2"], m0)
+        t, ts = conv([(t, ts, 256)], p["up2"]["conv1"], _PK["u2c1"])
+        t, ts = conv(
+            [(t, ts, 128), (s3, s3s, 128)], p["up2"]["conv2"], _PK["u2c2"]
+        )
+    else:
+        xn = _conv_act(xu, p["up2"]["conv1"], s)
+        xn = _conv_act(
+            jnp.concatenate([xn, s3n], axis=-1), p["up2"]["conv2"], s
+        )
+        t, ts = pack(xn, 1, _PK["l2"], m0)
+
+    # up3 (level 1, P=2): packed upsample doubles P, M constant.
+    t, ts = upsample_2x_packed(t, ts)
+    t, ts = conv([(t, ts, 128)], p["up3"]["conv1"], _PK["u3c1"])
+    t, ts = conv(
+        [(t, ts, 64), (s2, s2s, 64)], p["up3"]["conv2"], _PK["u3c2"]
+    )
+
+    # up4 (level 0, P=4).
+    t, ts = upsample_2x_packed(t, ts)
+    t, ts = conv([(t, ts, 64)], p["up4"]["conv1"], _PK["u4c1"])
+    t, ts = conv(
+        [(t, ts, 32), (s1, s1s, 32)], p["up4"]["conv2"], _PK["u4c2"]
+    )
+
+    t, ts = conv([(t, ts, 32)], p["conv3"], _PK["head"], slope=None)
+    return unpack(t, ts)

@@ -1,0 +1,312 @@
+"""Pad-free phase-packed convolution kernel (Pallas TPU).
+
+Second-generation version of ops/conv_phase.py. The round-1 kernel took
+channels-minor NHWC input, so XLA inserted a pad+reshape (one full layout
+copy) before EVERY kernel call and another after it — measured ~35% of
+1080p frame time (docs/PERFORMANCE.md). This kernel instead consumes and
+produces the *carried* packed layout of ops/packed.py directly:
+
+    x_i: (B, H, M, Lin_i)  Lin_i = round_up(P*spec_i.c, 128)
+    y:   (B, H, M, Lout)   Lout  = P*cout, lane = slot*cout + co
+
+so conv chains need ZERO layout ops between layers. It generalizes the
+round-1 design three ways:
+
+  * MULTI-INPUT: a conv whose input is a channel-concat (the U-Net skip
+    connections) takes the operands separately and splits the contraction
+    (B2 row blocks per operand) — the concat is never materialized.
+  * P=1: degenerates to a clean implicit-GEMM NHWC conv (K*k static-slice
+    dots), used for the mid U-Net levels where C >= 128 fills the lanes
+    natively but XLA's conv emitter still pads/copies.
+  * Pad-free borders: W guards are zero by the packed-layout invariant
+    (window halo columns memset once); H handled by a clamped 8-aligned
+    window DMA plus a zero sentinel row that out-of-range row reads are
+    redirected to. The epilogue re-zeroes OUTPUT guard slots so
+    bias+LeakyReLU can't poison the next conv's zero padding.
+
+Decomposition (same block-Toeplitz math as round 1, SURVEY.md §2.2):
+out storage pixel P*m+p at real x = P*m+p-off_out needs input reals
+x+dx-h, dx in [0,k): input storage = P*(m+s) + (p+dx) with the static
+group shift s = (off_in - h - off_out)/P, which the U-Net offset plan
+(models/unet.py) keeps integer per operand. Hence k*Q GEMMs per operand
+of static window slices against
+B2[dy,q][(r,ci),(p,co)] = w[dy, P*q+r-p, ci, co], Q = 1+ceil((k-1)/P).
+
+Inference-only (no VJP); training keeps the round-1 conv2d_fused whose
+custom_vjp delegates to the XLA conv.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rrin_tpu.ops.conv_phase import _build_b2, _conv_xla
+from rrin_tpu.ops.packed import PackedSpec, pack, pad_lanes, unpack
+
+LANES = 128
+RB = 8  # output rows per grid step
+WIN_ROWS = RB + 16  # 8-multiple: the clamped 8-aligned DMA start stays
+# in bounds (h % 8 == 0 makes the clamp bound h-WIN_ROWS 8-aligned) while
+# still covering [r0-hh, r0+RB+hh) for every hh <= 8.
+
+# Tests set this to exercise the kernel in interpret mode on CPU.
+_FORCE_KERNEL = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def q_count(k: int, p: int) -> int:
+    return 1 + -(-(k - 1) // p)
+
+
+def min_h(k: int) -> int:
+    """Smallest H the kernel supports (window must fit the array)."""
+    return WIN_ROWS
+
+
+def supports(spec: PackedSpec, k: int, cout: int, h: int) -> bool:
+    """Static routability check for one conv site (single operand)."""
+    return (
+        k % 2 == 1
+        and h % RB == 0
+        and h >= min_h(k)
+        and spec.m % 8 == 0
+        and spec.p * cout <= 4 * LANES
+        and spec.p * spec.c <= 4 * LANES
+    )
+
+
+def _kernel_body(
+    *, k: int, q: int, m: int, h: int, wls, s_shifts, lins, lout: int,
+    cout: int, p: int, off_out: int, w_real: int, slope: Optional[float],
+    out_dtype,
+):
+    hh = (k - 1) // 2
+    n_in = len(wls)
+    sentinel = WIN_ROWS  # memset-zero row index in every window
+
+    def kernel(*refs):
+        x_refs = refs[:n_in]
+        b2_refs = refs[n_in : 2 * n_in]
+        bias_ref = refs[2 * n_in]
+        out_ref = refs[2 * n_in + 1]
+        wins = refs[2 * n_in + 2 : 2 * n_in + 2 + n_in]
+        sem = refs[-1]
+
+        bi = pl.program_id(0)
+        ri = pl.program_id(1)
+        r0 = ri * RB
+        ws = jnp.clip(((r0 - hh) >> 3) << 3, 0, h - WIN_ROWS)
+        ws = pl.multiple_of(ws, 8)
+
+        copies = [
+            pltpu.make_async_copy(
+                x_refs[i].at[bi, pl.ds(ws, WIN_ROWS), :, :],
+                wins[i].at[pl.ds(0, WIN_ROWS), pl.ds(wls[i], m), :],
+                sem.at[i],
+            )
+            for i in range(n_in)
+        ]
+        for cpy in copies:
+            cpy.start()
+
+        # One-time zeroing of halo columns and sentinel rows (the grid
+        # runs sequentially; scratch persists across steps).
+        @pl.when(jnp.logical_and(bi == 0, ri == 0))
+        def _():
+            for i in range(n_in):
+                wins[i][sentinel] = jnp.zeros_like(wins[i][sentinel])
+                if wls[i]:
+                    wins[i][:, : wls[i], :] = jnp.zeros_like(
+                        wins[i][:, : wls[i], :]
+                    )
+                mw = wins[i].shape[1]
+                if mw > wls[i] + m:
+                    wins[i][:, wls[i] + m :, :] = jnp.zeros_like(
+                        wins[i][:, wls[i] + m :, :]
+                    )
+
+        # Output guard mask: storage pixels outside [off_out, off_out+W)
+        # must stay zero for the next conv's SAME padding.
+        mi = jax.lax.broadcasted_iota(jnp.int32, (m, lout), 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (m, lout), 1)
+        pix = p * mi + li // cout
+        gmask = jnp.logical_and(pix >= off_out, pix < off_out + w_real)
+
+        for cpy in copies:
+            cpy.wait()
+
+        for yo in range(RB):
+            acc = jnp.zeros((m, lout), jnp.float32)
+            for dy in range(k):
+                a_abs = r0 + yo + dy - hh
+                valid = jnp.logical_and(a_abs >= 0, a_abs < h)
+                a_idx = jnp.where(valid, a_abs - ws, sentinel)
+                for i in range(n_in):
+                    for qi in range(q):
+                        cs = wls[i] + s_shifts[i] + qi
+                        acc = acc + jnp.dot(
+                            wins[i][a_idx, pl.ds(cs, m), :],
+                            b2_refs[i][dy * q + qi],
+                            preferred_element_type=jnp.float32,
+                        )
+            acc = acc + bias_ref[:]
+            if slope is not None:
+                acc = jnp.where(acc >= 0, acc, slope * acc)
+            acc = jnp.where(gmask, acc, 0.0)
+            out_ref[0, yo] = acc.astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("specs", "real_cs", "k", "cout", "off_out", "slope"),
+)
+def _conv_packed_impl(
+    xs: Tuple[jnp.ndarray, ...],
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    specs: Tuple[PackedSpec, ...],
+    real_cs: Tuple[int, ...],
+    k: int,
+    cout: int,
+    off_out: int,
+    slope: Optional[float],
+) -> jnp.ndarray:
+    b, h, m, _ = xs[0].shape
+    p = specs[0].p
+    hh = (k - 1) // 2
+    q = q_count(k, p)
+    dtype = xs[0].dtype
+
+    wls, s_shifts, lins, b2s = [], [], [], []
+    row = 0
+    for x, spec, rc in zip(xs, specs, real_cs):
+        assert x.shape == (b, h, m, _round_up(p * spec.c, LANES)), (
+            x.shape, spec)
+        assert spec.p == p and spec.m == m
+        assert (spec.off - hh - off_out) % p == 0, (spec, k, off_out)
+        s = (spec.off - hh - off_out) // p
+        # w rows for this operand, zero-extended to the (padded) spec.c.
+        wi = w[:, :, row : row + rc, :]
+        row += rc
+        if rc < spec.c:
+            wi = jnp.pad(wi, ((0, 0), (0, 0), (0, spec.c - rc), (0, 0)))
+        b2 = _build_b2(wi.astype(dtype), p)  # (k*q, p*spec.c, p*cout)
+        lin = x.shape[-1]
+        if p * spec.c < lin:
+            b2 = jnp.pad(b2, ((0, 0), (0, lin - p * spec.c), (0, 0)))
+        wl = _round_up(max(0, -s), 8)  # 8-aligned DMA dst offset
+        wls.append(wl)
+        s_shifts.append(s)
+        lins.append(lin)
+        b2s.append(b2)
+    assert row == w.shape[2], (row, w.shape)
+
+    lout = p * cout
+    bias_lanes = jnp.tile(bias.astype(jnp.float32), (p,)).reshape(1, lout)
+
+    kernel = _kernel_body(
+        k=k, q=q, m=m, h=h, wls=tuple(wls), s_shifts=tuple(s_shifts),
+        lins=tuple(lins), lout=lout, cout=cout, p=p, off_out=off_out,
+        w_real=specs[0].w, slope=slope, out_dtype=dtype,
+    )
+    n_in = len(xs)
+    scratch = [
+        pltpu.VMEM(
+            (WIN_ROWS + 1,
+             wls[i] + m + max(0, s_shifts[i] + q - 1),
+             lins[i]),
+            dtype,
+        )
+        for i in range(n_in)
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // RB),
+        out_shape=jax.ShapeDtypeStruct((b, h, m, lout), dtype),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * n_in
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        ),
+        out_specs=pl.BlockSpec(
+            (1, RB, m, lout), lambda bi, ri: (bi, ri, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((n_in,))],
+    )(*xs, *b2s, bias_lanes)
+
+
+def _conv_packed_xla(
+    xs: Sequence[jnp.ndarray],
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    specs: Sequence[PackedSpec],
+    real_cs: Sequence[int],
+    off_out: int,
+    slope: Optional[float],
+) -> jnp.ndarray:
+    """Reference/fallback: unpack -> concat -> XLA conv -> repack.
+    Semantically identical to the kernel (including output guard zeros)."""
+    xn = jnp.concatenate(
+        [unpack(x, s, c=rc) for x, s, rc in zip(xs, specs, real_cs)],
+        axis=-1,
+    )
+    y = _conv_xla(xn, w.astype(xn.dtype), bias, slope)
+    yp, _ = pack(y, specs[0].p, off_out, specs[0].m)
+    return yp
+
+
+def conv_packed(
+    parts,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    off_out: int,
+    slope: Optional[float] = None,
+) -> Tuple[jnp.ndarray, PackedSpec]:
+    """Packed-in/packed-out conv2d(stride 1, SAME) + bias + LeakyReLU.
+
+    parts: list of (x, spec, real_c) operands — their channel concat (in
+    order, first real_c channels of each) is the conv input; w has
+    cin = sum(real_c). spec.c >= real_c allows channel-padded operands
+    (the pad rows of B2 are zero, so padding is free numerically).
+    Returns (y, out_spec) packed at ``off_out``. Inference-only (no VJP);
+    Mosaic on TPU, XLA elsewhere.
+    """
+    k = w.shape[0]
+    xs, specs, real_cs = zip(*[
+        (pad_lanes(x, _round_up(s.p * s.c, LANES)), s, rc)
+        for x, s, rc in parts
+    ])
+    cout = w.shape[3]
+    assert sum(real_cs) == w.shape[2], (real_cs, w.shape)
+    out_spec = PackedSpec(
+        p=specs[0].p, c=cout, w=specs[0].w, off=off_out, m=specs[0].m
+    )
+    if _FORCE_KERNEL:  # interpret-mode tests on CPU
+        y = _conv_packed_impl(
+            xs, w.astype(xs[0].dtype), bias, specs, real_cs, k, cout,
+            off_out, slope,
+        )
+        return y, out_spec
+    y = jax.lax.platform_dependent(
+        xs, w, bias,
+        tpu=lambda a, ww, bb: _conv_packed_impl(
+            a, ww.astype(a[0].dtype), bb, specs, real_cs, k, cout,
+            off_out, slope,
+        ),
+        default=lambda a, ww, bb: _conv_packed_xla(
+            a, ww, bb, specs, real_cs, off_out, slope
+        ),
+    )
+    return y, out_spec

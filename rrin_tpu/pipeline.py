@@ -43,7 +43,10 @@ def _dtype_from_name(name: str):
 
 @partial(
     jax.jit,
-    static_argnames=("exp", "mode", "cfg", "compute_dtype", "use_pallas", "pad_hw"),
+    static_argnames=(
+        "exp", "mode", "cfg", "compute_dtype", "use_pallas", "pad_hw",
+        "packed",
+    ),
 )
 def device_step(
     params: Dict[str, Any],
@@ -54,6 +57,7 @@ def device_step(
     compute_dtype: Any = jnp.bfloat16,
     use_pallas: bool = False,
     pad_hw: Any = None,
+    packed: Optional[bool] = None,
 ) -> jnp.ndarray:
     """One fused device step: (B, 2, H, W, 3) uint8 -> (B, 2^exp - 1, H, W, 3) uint8.
 
@@ -71,8 +75,12 @@ def device_step(
     i0, i1 = x[:, 0], x[:, 1]
     m = (1 << exp) - 1
 
+    # The packed-layout fast path follows use_pallas by default: it is
+    # the inference configuration (models/unet.unet_apply_packed).
     run = partial(
-        forward, params, cfg=cfg, compute_dtype=compute_dtype, use_pallas=use_pallas
+        forward, params, cfg=cfg, compute_dtype=compute_dtype,
+        use_pallas=use_pallas,
+        packed=use_pallas if packed is None else packed,
     )
 
     if mode == "direct" or exp == 1:
@@ -163,6 +171,7 @@ class Interpolator:
         compute_dtype: str = "bfloat16",
         use_pallas: bool = False,
         data_parallel: int = 1,
+        packed: Optional[bool] = None,
     ):
         if mode not in ("direct", "cascade"):
             raise ValueError(f"unknown mode: {mode!r}")
@@ -174,6 +183,7 @@ class Interpolator:
         self.mode = mode
         self.compute_dtype = _dtype_from_name(compute_dtype)
         self.use_pallas = use_pallas
+        self.packed = packed
         self.mesh = None
         if data_parallel != 1:
             from rrin_tpu.parallel.sharding import make_mesh, replicate_params
@@ -214,6 +224,7 @@ class Interpolator:
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
             pad_hw=pad_hw,
+            packed=self.packed,
         )
 
 
