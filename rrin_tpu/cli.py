@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-parallel", "-d", type=int, default=1,
                    help="shard frame-pair batches over N devices via a "
                    "1-D ICI data mesh (0 = all local devices)")
+    p.add_argument("--spatial", type=int, default=1,
+                   help="additionally shard frame HEIGHT over N devices "
+                   "(mesh data x spatial) for very large frames, e.g. 4K "
+                   "(BASELINE config 5); conv halo exchanges are "
+                   "XLA-inserted over ICI")
     p.add_argument(
         "--mode", choices=("direct", "cascade"), default="direct",
         help="direct: each intermediate at its own t in one pass; "
@@ -137,6 +142,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         fourcc=args.fourcc,
         progress=not args.quiet,
         data_parallel=args.data_parallel,
+        spatial=args.spatial,
     )
     with profile_cm:
         if args.segment_pairs > 0:

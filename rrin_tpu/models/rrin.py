@@ -138,9 +138,12 @@ def forward(
     ft0 = ft0 + res[..., :2]
     ft1 = ft1 + res[..., 2:]
 
-    # 4. backward bilinear warp of both frames (fp32, zeros outside)
+    # 4. backward bilinear warp of both frames (fp32 accumulation; the
+    # bf16 compute path uses the channel-paired gather variant — 2/3 the
+    # gathers and window bytes at bf16-input-rounding quality cost)
     g0, g1 = warp_pair(
-        i0f, i1f, ft0, ft1, align_corners=cfg.align_corners, use_pallas=use_pallas
+        i0f, i1f, ft0, ft1, align_corners=cfg.align_corners,
+        use_pallas=use_pallas, pairs=(cd == jnp.bfloat16),
     )
 
     # 5. adaptive weight map + normalized blend (fp32)

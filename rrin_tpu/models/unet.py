@@ -213,9 +213,11 @@ def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
     b, h, w, cin = x.shape
     assert packed_supported(h, w, cfg)
     m0 = _packed_m0(w)
-    # Level 2 runs the P=1 kernel only when its H is still kernel-shaped;
-    # otherwise those four convs stay plain XLA (identical math).
+    # Levels 2 and 3 run the P=1 kernel only when their H is still
+    # kernel-shaped; otherwise those convs stay plain XLA (same math).
     l2_kernel = (h // 4) % 8 == 0 and h // 4 >= min_h(3)
+    l3_kernel = (h // 8) % 8 == 0 and h // 8 >= min_h(3)
+    m3 = -(-(w // 8) // 8) * 8
 
     def conv(parts, prm, off_out, slope=s):
         return conv_packed(parts, prm["w"], prm["b"], off_out, slope)
@@ -239,10 +241,25 @@ def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
         s3n = _conv_act(xn, p["down2"]["conv2"], s)
         s3, s3s = pack(s3n, 1, _PK["l2"], m0)
 
-    # Levels 3-4: plain NHWC at exact widths.
-    s4 = _down(s3n, p["down3"], s)
-    xn = _down(s4, p["down4"], s)
-    xn = _up(xn, s4, p["up1"], s)
+    # Level 3 (C=256): P=1 kernel when kernel-shaped, else plain.
+    if l3_kernel:
+        x3 = avg_pool_2x(s3n)
+        t3, t3s = pack(x3, 1, 0, m3)
+        t3, t3s = conv([(t3, t3s, 128)], p["down3"]["conv1"], 0)
+        s4p, s4s = conv([(t3, t3s, 256)], p["down3"]["conv2"], 0)
+        s4n = unpack(s4p, s4s)
+        xn = _down(s4n, p["down4"], s)  # level 4 stays plain (H/16)
+        xu3 = upsample_2x_bilinear(xn)
+        t3, t3s = pack(xu3, 1, 0, m3)
+        t3, t3s = conv([(t3, t3s, 512)], p["up1"]["conv1"], 0)
+        t3, t3s = conv(
+            [(t3, t3s, 256), (s4p, s4s, 256)], p["up1"]["conv2"], 0
+        )
+        xn = unpack(t3, t3s)
+    else:
+        s4 = _down(s3n, p["down3"], s)
+        xn = _down(s4, p["down4"], s)
+        xn = _up(xn, s4, p["up1"], s)
 
     # up2 (level 2): plain upsample, then packed convs with fused concat.
     xu = upsample_2x_bilinear(xn)

@@ -105,6 +105,7 @@ def warp_pair(
     flow_t1: jnp.ndarray,
     align_corners: bool = False,
     use_pallas: bool = False,
+    pairs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Warp both source frames toward time t in one fused pass.
 
@@ -123,7 +124,8 @@ def warp_pair(
             warp_pair_pallas = None
         if warp_pair_pallas is not None:
             return warp_pair_pallas(
-                i0, i1, flow_t0, flow_t1, align_corners=align_corners
+                i0, i1, flow_t0, flow_t1, align_corners=align_corners,
+                pairs=pairs,
             )
     g0 = warp_bilinear(i0, flow_t0, align_corners=align_corners)
     g1 = warp_bilinear(i1, flow_t1, align_corners=align_corners)

@@ -75,6 +75,146 @@ def _sample_coords_nhw(
     return sy, sx
 
 
+def _warp_kernel_pairs(H: int, Wp: int, win_rows: int):
+    """Channel-paired variant: the 3 bf16 channels ride TWO f32 planes
+    (plane0 = bitcast(c0,c1) pairs, plane1 = bitcast(c2,0)), so each
+    bilinear tap needs 2 lane gathers instead of 3 and the VMEM window
+    shrinks by a third. Mosaic has no 16-bit gathers (verified: bf16
+    take_along_axis fails to compile), so gathering the PAIR as one f32
+    and splitting it with in-register integer shifts is the TPU-native
+    way to halve gather bytes. Used by the bf16 compute path; quality
+    cost is only the input's bf16 rounding (exact f32 accumulation).
+    """
+    n_oc = Wp // LANES
+
+    def kernel(img_ref, sxy_ref, out_ref, w0, w1, sem):
+        b = pl.program_id(0)
+        rb = pl.program_id(1)
+        r0 = rb * RB
+        ws = jnp.clip(r0 + RB // 2 - win_rows // 2, 0, H - win_rows)
+        ws = pl.multiple_of((ws >> 3) << 3, 8)
+
+        wrefs = (w0, w1)
+        copies = [
+            pltpu.make_async_copy(
+                img_ref.at[b, c, pl.ds(ws, win_rows), :], wrefs[c], sem.at[c]
+            )
+            for c in range(2)
+        ]
+        for cp in copies:
+            cp.start()
+
+        sx = sxy_ref[0, 0]
+        sy = sxy_ref[0, 1]
+        x0f = jnp.floor(sx)
+        y0f = jnp.floor(sy)
+        wx = sx - x0f
+        wy = sy - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+        yl = y0 - ws
+
+        for cp in copies:
+            cp.wait()
+
+        def lo(u):  # f32 holding (bf16 lo, bf16 hi) -> lo as f32
+            return pltpu.bitcast(u << 16, jnp.float32)
+
+        def hi(u):
+            return pltpu.bitcast(u & jnp.uint32(0xFFFF0000), jnp.float32)
+
+        for oc in range(n_oc):
+            sl = slice(oc * LANES, (oc + 1) * LANES)
+            x0c = x0[:, sl]
+            x1c = x0c + 1
+            wxc = wx[:, sl]
+            cw0 = 1.0 - wxc
+            cw1 = wxc
+            xl0 = x0c & (LANES - 1)
+            xl1 = x1c & (LANES - 1)
+            xt0 = x0c >> 7
+            xt1 = x1c >> 7
+            ylc = yl[:, sl]
+            wyc = wy[:, sl]
+
+            rmin = jnp.clip(jnp.min(ylc), 0, win_rows - 1)
+            rmax = jnp.clip(jnp.max(ylc) + 1, 0, win_rows - 1)
+            tmin = jnp.clip(jnp.min(xt0), 0, n_oc - 1)
+            tmax = jnp.clip(jnp.max(xt1), 0, n_oc - 1)
+
+            def row_body(r, accs, ylc=ylc, wyc=wyc, xl0=xl0, xl1=xl1,
+                         xt0=xt0, xt1=xt1, cw0=cw0, cw1=cw1,
+                         tmin=tmin, tmax=tmax):
+                wrow = jnp.where(ylc == r, 1.0 - wyc, 0.0) + jnp.where(
+                    ylc == r - 1, wyc, 0.0
+                )
+                g8 = pl.multiple_of((r >> 3) * 8, 8)
+                ridx = jnp.full((8, LANES), r & 7, jnp.int32)
+
+                def tile_body(xt, accs, wrow=wrow, ridx=ridx):
+                    start = pl.multiple_of(xt * LANES, LANES)
+                    m0 = (xt0 == xt).astype(jnp.float32) * cw0
+                    m1 = (xt1 == xt).astype(jnp.float32) * cw1
+                    out = list(accs)
+                    for c in range(2):
+                        sub = wrefs[c][pl.ds(g8, 8), pl.ds(start, LANES)]
+                        row8 = jnp.take_along_axis(sub, ridx, axis=0)
+                        rowb = jnp.concatenate([row8, row8], axis=0)
+                        gv0 = jnp.take_along_axis(rowb, xl0, axis=1)
+                        gv1 = jnp.take_along_axis(rowb, xl1, axis=1)
+                        u0 = pltpu.bitcast(gv0, jnp.uint32)
+                        u1 = pltpu.bitcast(gv1, jnp.uint32)
+                        if c == 0:
+                            out[0] = out[0] + wrow * (m0 * lo(u0) + m1 * lo(u1))
+                            out[1] = out[1] + wrow * (m0 * hi(u0) + m1 * hi(u1))
+                        else:
+                            out[2] = out[2] + wrow * (m0 * lo(u0) + m1 * lo(u1))
+                    return tuple(out)
+
+                return jax.lax.fori_loop(tmin, tmax + 1, tile_body, accs)
+
+            zero = jnp.zeros((RB, LANES), jnp.float32)
+            acc = jax.lax.fori_loop(rmin, rmax + 1, row_body, (zero, zero, zero))
+            for c in range(3):
+                out_ref[0, c, :, sl] = acc[c]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("align_corners",))
+def _warp_planar_pallas_pairs(
+    img_p: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, align_corners: bool
+) -> jnp.ndarray:
+    """img_p: (B, 2, H, Wp) f32 of bitcast bf16 pairs; sx/sy: (B, H, Wp)."""
+    b, c, h, wp = img_p.shape
+    assert c == 2 and h % RB == 0 and wp % LANES == 0
+    win_rows = min(WIN_MAX, h)
+    sxy = jnp.stack([sx, sy], axis=1)
+
+    kernel = _warp_kernel_pairs(h, wp, win_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // RB),
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, wp), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(
+                (1, 2, RB, wp), lambda bi, ri: (bi, 0, ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, RB, wp), lambda bi, ri: (bi, 0, ri, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, wp), jnp.float32),
+            pltpu.VMEM((win_rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(img_p, sxy)
+
+
 def _warp_kernel(H: int, Wp: int, win_rows: int):
     """Kernel body builder; all sizes static. Channels are planar; the
     image is zero-padded to Wp lanes so x >= W naturally samples zeros."""
@@ -212,15 +352,20 @@ def _dy_fast_path_ok(sy: jnp.ndarray, height: int) -> jnp.ndarray:
     return jnp.max(jnp.abs(sy - rows)) <= bound
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def warp_one_pallas(
-    img: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = False
+    img: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = False,
+    pairs: bool = False,
 ) -> jnp.ndarray:
     """Warp (B,H,W,C=3) by (B,H,W,2): Pallas fast path + XLA fallback.
 
     Differentiable: the backward pass reuses the XLA gather formulation
     (jax.vjp of ops.warp.warp_bilinear), so training (rrin_tpu/train.py)
     can run the fast kernel forward with exact gradients.
+
+    ``pairs=True`` selects the channel-paired bf16 variant (2 gathers per
+    tap instead of 3, 1/3 less window VMEM/bandwidth) — quality cost is
+    the input's bf16 rounding only; used on the bf16 compute path.
     """
     b, h, w, c = img.shape
     if c != 3 or h % RB or h < 32:
@@ -230,46 +375,66 @@ def warp_one_pallas(
         # lowering time (not by the process default backend).
         return jax.lax.platform_dependent(
             img, flow,
-            tpu=lambda a, b_: _warp_one_tpu(a, b_, align_corners),
+            tpu=lambda a, b_: _warp_one_tpu(a, b_, align_corners, pairs),
             default=lambda a, b_: warp_bilinear(a, b_, align_corners=align_corners),
         )
-    return _warp_one_tpu(img, flow, align_corners)
+    return _warp_one_tpu(img, flow, align_corners, pairs)
 
 
 def _warp_one_tpu(
-    img: jnp.ndarray, flow: jnp.ndarray, align_corners: bool
+    img: jnp.ndarray, flow: jnp.ndarray, align_corners: bool,
+    pairs: bool = False,
 ) -> jnp.ndarray:
     b, h, w, c = img.shape
 
     sy, sx = _sample_coords_nhw(flow, h, w, align_corners)
     wp = _round_up(w, LANES)
     pad = wp - w
-    imgf = img.astype(jnp.float32)
     if pad:
-        imgf = jnp.pad(imgf, ((0, 0), (0, 0), (0, pad), (0, 0)))
         # Pad output columns sample nothing: x far out of range, y to row 0.
         sx = jnp.pad(sx, ((0, 0), (0, 0), (0, pad)), constant_values=-2.0)
         sy = jnp.pad(sy, ((0, 0), (0, 0), (0, pad)), constant_values=0.0)
-    img_planar = jnp.transpose(imgf, (0, 3, 1, 2))  # (B,3,H,Wp)
+
+    if pairs:
+        imgb = img.astype(jnp.bfloat16)
+        if pad:
+            imgb = jnp.pad(imgb, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        # Two f32 planes of bitcast bf16 pairs: (c0,c1) and (c2,0).
+        p01 = jax.lax.bitcast_convert_type(imgb[..., 0:2], jnp.float32)
+        p2 = jax.lax.bitcast_convert_type(
+            jnp.concatenate([imgb[..., 2:3], jnp.zeros_like(imgb[..., :1])],
+                            axis=-1),
+            jnp.float32,
+        )
+        img_planar = jnp.stack([p01, p2], axis=1)  # (B,2,H,Wp)
+    else:
+        imgf = img.astype(jnp.float32)
+        if pad:
+            imgf = jnp.pad(imgf, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        img_planar = jnp.transpose(imgf, (0, 3, 1, 2))  # (B,3,H,Wp)
 
     def fast(_):
-        out_p = _warp_planar_pallas(img_planar, sx, sy, align_corners)
+        if pairs:
+            out_p = _warp_planar_pallas_pairs(img_planar, sx, sy, align_corners)
+        else:
+            out_p = _warp_planar_pallas(img_planar, sx, sy, align_corners)
         out = jnp.transpose(out_p, (0, 2, 3, 1))
         return out[:, :, :w, :]
 
     def slow(_):
-        return warp_bilinear(img, flow, align_corners=align_corners)
+        src = img.astype(jnp.bfloat16).astype(jnp.float32) if pairs else img
+        return warp_bilinear(src, flow, align_corners=align_corners)
 
     return jax.lax.cond(
         _dy_fast_path_ok(sy[:, :, :w], h), fast, slow, operand=None
     )
 
 
-def _warp_one_fwd(img, flow, align_corners):
-    return warp_one_pallas(img, flow, align_corners), (img, flow)
+def _warp_one_fwd(img, flow, align_corners, pairs):
+    return warp_one_pallas(img, flow, align_corners, pairs), (img, flow)
 
 
-def _warp_one_bwd(align_corners, res, g):
+def _warp_one_bwd(align_corners, pairs, res, g):
     img, flow = res
     _, vjp = jax.vjp(
         lambda im, fl: warp_bilinear(im, fl, align_corners=align_corners),
@@ -287,8 +452,9 @@ def warp_pair_pallas(
     flow_t0: jnp.ndarray,
     flow_t1: jnp.ndarray,
     align_corners: bool = False,
+    pairs: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Both warps of the cascade through the Pallas kernel."""
-    g0 = warp_one_pallas(i0, flow_t0, align_corners)
-    g1 = warp_one_pallas(i1, flow_t1, align_corners)
+    g0 = warp_one_pallas(i0, flow_t0, align_corners, pairs)
+    g1 = warp_one_pallas(i1, flow_t1, align_corners, pairs)
     return g0, g1

@@ -45,12 +45,16 @@ def make_mesh(
     return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS))
 
 
-def batch_sharding(mesh: Mesh, spatial_dim: Optional[int] = None) -> NamedSharding:
-    """Sharding for (B, H, W, C)-like arrays: B over data, optionally H over
-    spatial (halo exchanges for convs are XLA-inserted)."""
+def batch_sharding(
+    mesh: Mesh, spatial_dim: Optional[int] = None, ndim: int = 4
+) -> NamedSharding:
+    """Sharding for batch-leading arrays: B over data, optionally one
+    spatial dim over ``spatial`` (halo exchanges for convs are
+    XLA-inserted). ``ndim`` covers both (B,H,W,C) activations and the
+    pipeline's (B,2,H,W,3) uint8 pair batches."""
     if spatial_dim is None:
         return NamedSharding(mesh, P(DATA_AXIS))
-    spec = [DATA_AXIS] + [None] * 3
+    spec = [DATA_AXIS] + [None] * (ndim - 1)
     spec[spatial_dim] = SPATIAL_AXIS
     return NamedSharding(mesh, P(*spec))
 
@@ -61,8 +65,10 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 def shard_pairs(mesh: Mesh, *arrays: Any, spatial_dim: Optional[int] = None):
     """device_put arrays with batch-DP (+optional spatial) sharding."""
-    s = batch_sharding(mesh, spatial_dim)
-    out = tuple(jax.device_put(a, s) for a in arrays)
+    out = tuple(
+        jax.device_put(a, batch_sharding(mesh, spatial_dim, ndim=a.ndim))
+        for a in arrays
+    )
     return out[0] if len(out) == 1 else out
 
 

@@ -172,11 +172,14 @@ class Interpolator:
         use_pallas: bool = False,
         data_parallel: int = 1,
         packed: Optional[bool] = None,
+        spatial: int = 1,
     ):
         if mode not in ("direct", "cascade"):
             raise ValueError(f"unknown mode: {mode!r}")
         if exp < 1:
             raise ValueError("exp must be >= 1")
+        if spatial < 1:
+            raise ValueError("spatial must be >= 1")
         self.params = params
         self.cfg = cfg
         self.exp = exp
@@ -185,11 +188,19 @@ class Interpolator:
         self.use_pallas = use_pallas
         self.packed = packed
         self.mesh = None
-        if data_parallel != 1:
+        self.spatial = spatial
+        if data_parallel != 1 or spatial > 1:
+            # BASELINE.json config 5: very large frames (4K) shard H over
+            # the ``spatial`` mesh axis on top of batch DP; XLA inserts
+            # the conv halo exchanges over ICI (SURVEY.md §5
+            # "long-context"). Note: the Pallas kernels are not SPMD-
+            # partitionable inside jit, so spatially-sharded runs use the
+            # XLA compute path (packed/use_pallas off makes no difference
+            # on CPU meshes, where the fallback is XLA anyway).
             from rrin_tpu.parallel.sharding import make_mesh, replicate_params
 
             n = data_parallel if data_parallel > 0 else 0
-            mesh = make_mesh(n_data=n)
+            mesh = make_mesh(n_data=n, n_spatial=spatial)
             if mesh.devices.size > 1:
                 self.mesh = mesh
                 self.params = replicate_params(mesh, params)
@@ -200,7 +211,13 @@ class Interpolator:
 
     @property
     def shard_count(self) -> int:
-        return int(self.mesh.devices.size) if self.mesh is not None else 1
+        """Devices the BATCH dim shards over (the data axis only — the
+        spatial axis shards H, not B)."""
+        if self.mesh is None:
+            return 1
+        from rrin_tpu.parallel.sharding import DATA_AXIS
+
+        return int(self.mesh.shape[DATA_AXIS])
 
     def step(self, pairs_u8: np.ndarray) -> jax.Array:
         """Dispatch one device step; returns the (async) device result."""
@@ -212,7 +229,11 @@ class Interpolator:
         if self.mesh is not None:
             from rrin_tpu.parallel.sharding import shard_pairs
 
-            batch = shard_pairs(self.mesh, pairs_u8)
+            # pairs_u8 is (B, 2, H, W, 3): H is dim 2.
+            batch = shard_pairs(
+                self.mesh, pairs_u8,
+                spatial_dim=2 if self.spatial > 1 else None,
+            )
         else:
             batch = jnp.asarray(pairs_u8)
         return device_step(
@@ -247,6 +268,7 @@ def interpolate_video(
     max_pairs: Optional[int] = None,
     write_trailing_frame: bool = True,
     data_parallel: int = 1,
+    spatial: int = 1,
 ) -> PipelineReport:
     """2^exp-upsample ``input_path``'s frame rate into ``output_path``.
 
@@ -263,7 +285,7 @@ def interpolate_video(
 
     interp = Interpolator(
         params, cfg, exp=exp, mode=mode, compute_dtype=compute_dtype,
-        use_pallas=use_pallas, data_parallel=data_parallel,
+        use_pallas=use_pallas, data_parallel=data_parallel, spatial=spatial,
     )
     m = interp.mids_per_pair
     # Sharded batches must divide evenly over the data mesh axis.

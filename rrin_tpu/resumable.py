@@ -58,6 +58,7 @@ def interpolate_video_resumable(
     keep_segments: bool = False,
     progress: bool = False,
     data_parallel: int = 1,
+    spatial: int = 1,
 ) -> Dict[str, Any]:
     """Run (or resume) a segmented interpolation job; returns the manifest."""
     from rrin_tpu.io.video import probe_video
@@ -124,6 +125,7 @@ def interpolate_video_resumable(
                 max_pairs=pairs,
                 write_trailing_frame=last,
                 data_parallel=data_parallel,
+                spatial=spatial,
             )
             seg["done"] = True
             seg["frames"] = report.frames_out

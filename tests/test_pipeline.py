@@ -197,6 +197,40 @@ class TestShardedPipeline:
                                    compute_dtype="float32", data_parallel=0)
         assert report.frames_out == 2 * (N_FRAMES - 1) + 1
 
+    @pytest.mark.slow
+    def test_dp_spatial_pipeline_matches_single_device(self, params, tmp_path):
+        """BASELINE.json config 5 proper: very-wide (4K-aspect) frames,
+        batch DP x H spatially sharded on a 4x2 mesh. The sharded pipeline
+        must match the single-device pipeline exactly."""
+        video = _make_video(str(tmp_path / "wide.mp4"), n=5,
+                            hw=(32, 3840))
+        out1 = str(tmp_path / "sp1.mp4")
+        out8 = str(tmp_path / "sp8.mp4")
+        interpolate_video(video, out1, params, batch_size=4,
+                          compute_dtype="float32", data_parallel=1)
+        interpolate_video(video, out8, params, batch_size=4,
+                          compute_dtype="float32", data_parallel=4,
+                          spatial=2)
+        f1 = list(VideoReader(out1))
+        f8 = list(VideoReader(out8))
+        assert len(f1) == len(f8) == 2 * (5 - 1) + 1
+        for a, b in zip(f1, f8):
+            # H-sharded convs change halo accumulation order -> tiny fp
+            # drift; uint8 rounding can flip by at most 1.
+            assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    def test_spatial_interpolator_shards_h(self, params):
+        """The pairs batch really is sharded over (data, spatial)."""
+        from rrin_tpu.parallel.sharding import batch_sharding
+        from rrin_tpu.pipeline import Interpolator
+
+        interp = Interpolator(params, compute_dtype="float32",
+                              data_parallel=4, spatial=2)
+        assert interp.shard_count == 4
+        pairs = np.zeros((4, 2, 32, 64, 3), np.uint8)
+        out = interp.step(pairs)
+        assert out.shape == (4, 1, 32, 64, 3)
+
 
 class TestOddResolutions:
     @pytest.mark.parametrize("hw", [(222, 398), (50, 70)])

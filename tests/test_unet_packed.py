@@ -49,6 +49,14 @@ class TestPackedUnet:
         got = np.asarray(unet_apply_packed(p, x, CFG))
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
+    def test_xla_fallback_level3_kernel_branch(self, rng):
+        """h=192 takes the l3_kernel branch too (P=1 convs at level 3)."""
+        p = unet_init(jax.random.key(3), 6, 4, CFG)
+        x = jnp.asarray(rng.random((1, 192, 64, 6), dtype=np.float32))
+        want = np.asarray(unet_apply(p, x, CFG))
+        got = np.asarray(unet_apply_packed(p, x, CFG))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
     def test_kernel_interpret_matches_plain(self, rng):
         p = unet_init(jax.random.key(1), 6, 4, CFG)
         x = jnp.asarray(rng.random((1, 48, 64, 6), dtype=np.float32))

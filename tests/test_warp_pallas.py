@@ -99,3 +99,56 @@ class TestWarpPallasParity:
         got = _run_pallas_interpret(img, flow, align_corners=True)
         np.testing.assert_allclose(got[0, :-5], img[0, 5:], atol=1e-6)
         np.testing.assert_allclose(got[0, -5:], 0.0, atol=1e-7)
+
+
+class TestWarpPairsVariant:
+    """Channel-paired bf16 gather variant: must match the XLA reference
+    computed on the bf16-rounded image exactly (f32 accumulation)."""
+
+    def _run_pairs(self, img, flow, align_corners=False):
+        from rrin_tpu.ops import warp_pallas as wp
+
+        wp._FORCE_KERNEL = True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                return np.asarray(
+                    warp_one_pallas(
+                        jnp.asarray(img), jnp.asarray(flow), align_corners,
+                        True,
+                    )
+                )
+        finally:
+            wp._FORCE_KERNEL = False
+
+    @pytest.mark.parametrize("align_corners", [False, True])
+    def test_matches_bf16_rounded_reference(self, case, align_corners):
+        img, flow = case()
+        want = np.asarray(
+            warp_bilinear(
+                jnp.asarray(img).astype(jnp.bfloat16).astype(jnp.float32),
+                jnp.asarray(flow), align_corners=align_corners,
+            )
+        )
+        got = self._run_pairs(img, flow, align_corners)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_bitcast_pair_order(self):
+        """The (c0,c1)->f32 bitcast must put c0 in the low 16 bits (the
+        kernel's lo()/hi() split depends on it)."""
+        v = jnp.asarray([[0.5, 2.0]], jnp.bfloat16)  # c0=0.5, c1=2.0
+        u = jax.lax.bitcast_convert_type(v, jnp.float32)
+        bits = np.asarray(jax.lax.bitcast_convert_type(u, jnp.uint32))[0]
+        lo = np.uint32(bits << np.uint32(16)).view(np.float32)
+        hi = np.uint32(bits & np.uint32(0xFFFF0000)).view(np.float32)
+        assert lo == 0.5 and hi == 2.0, (lo, hi)
+
+    def test_out_of_bounds_zero_padding_pairs(self, case):
+        img, flow = case(flow_bias=(6.0, 5.0))
+        got = self._run_pairs(img, flow)
+        want = np.asarray(
+            warp_bilinear(
+                jnp.asarray(img).astype(jnp.bfloat16).astype(jnp.float32),
+                jnp.asarray(flow),
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
