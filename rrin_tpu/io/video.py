@@ -5,8 +5,10 @@ iterates frame pairs inline (SURVEY.md §3.2). Here decode runs on a
 background thread pushing into a bounded queue so host decode overlaps
 device compute (SURVEY.md §1 L4: "double-buffered host<->HBM streaming").
 
-Frames cross these APIs as RGB uint8 HWC numpy arrays; BGR<->RGB swaps
-happen at the OpenCV boundary only.
+Frames cross these APIs as RGB uint8 HWC numpy arrays by default;
+the streaming pipeline opts into raw-BGR mode on both ends so original
+frames pass through with ZERO swaps and the one needed swap (device
+input) fuses into the native pair-packer.
 """
 
 from __future__ import annotations
@@ -50,11 +52,18 @@ def probe_video(path: str) -> VideoMeta:
 
 
 class VideoReader:
-    """Threaded sequential decoder yielding RGB uint8 HWC frames."""
+    """Threaded sequential decoder yielding uint8 HWC frames.
+
+    ``rgb=True`` (default) swaps OpenCV's BGR to RGB on the decode thread.
+    The streaming pipeline passes ``rgb=False`` and fuses the swap into
+    the native pair-packer instead (one fewer full pass per frame).
+    """
 
     _SENTINEL = None
 
-    def __init__(self, path: str, queue_depth: int = 8, start_frame: int = 0):
+    def __init__(self, path: str, queue_depth: int = 8, start_frame: int = 0,
+                 rgb: bool = True):
+        self._rgb = rgb
         self._cap = cv2.VideoCapture(path)
         if not self._cap.isOpened():
             raise FileNotFoundError(f"cannot open video: {path}")
@@ -78,7 +87,8 @@ class VideoReader:
                 ok, frame = self._cap.read()
                 if not ok:
                     break
-                rgb = native.swap_rb(np.ascontiguousarray(frame))
+                frame = np.ascontiguousarray(frame)
+                rgb = native.swap_rb(frame) if self._rgb else frame
                 while not self._stop.is_set():
                     try:
                         self._q.put(rgb, timeout=0.1)
@@ -135,7 +145,9 @@ class VideoWriter:
         size_hw: Tuple[int, int],
         fourcc: str = "mp4v",
         queue_depth: int = 16,
+        input_rgb: bool = True,
     ):
+        self._input_rgb = input_rgb
         h, w = size_hw
         self._writer = cv2.VideoWriter(
             path, cv2.VideoWriter_fourcc(*fourcc), fps, (w, h)
@@ -152,10 +164,11 @@ class VideoWriter:
     def _encode_loop(self) -> None:
         try:
             while True:
-                frame = self._q.get()
-                if frame is self._SENTINEL:
+                item = self._q.get()
+                if item is self._SENTINEL:
                     break
-                self._writer.write(native.swap_rb(frame))  # RGB -> BGR
+                frame, rgb = item
+                self._writer.write(native.swap_rb(frame) if rgb else frame)
                 self.frames_written += 1
         except BaseException as e:
             self._err = e
@@ -182,8 +195,12 @@ class VideoWriter:
             except queue.Full:
                 continue
 
-    def write(self, frame: np.ndarray) -> None:
-        self._put_checked(frame)
+    def write(self, frame: np.ndarray, rgb: Optional[bool] = None) -> None:
+        """Queue a frame; ``rgb`` overrides the constructor's input_rgb
+        per call (the pipeline writes BGR originals and RGB device output
+        through one writer — the swap runs on the encode thread)."""
+        rgb = self._input_rgb if rgb is None else rgb
+        self._put_checked((frame, rgb))
 
     def close(self) -> None:
         try:

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rrin_tpu import native
 from rrin_tpu.config import ModelConfig
 from rrin_tpu.models.rrin import forward
 from rrin_tpu.ops.pad import padded_size
@@ -122,6 +123,7 @@ def device_step(
 @dataclass
 class StageTimers:
     decode: float = 0.0
+    pack: float = 0.0  # fused BGR->RGB + batch pack (native/framepack)
     dispatch: float = 0.0  # host->device + jitted step dispatch
     d2h: float = 0.0  # blocking device->host result fetch
     encode_wait: float = 0.0  # time the main loop stalled on the encode queue
@@ -291,12 +293,16 @@ def interpolate_video(
     # Sharded batches must divide evenly over the data mesh axis.
     batch_size = -(-batch_size // interp.shard_count) * interp.shard_count
 
-    reader = VideoReader(input_path, queue_depth=queue_depth, start_frame=start_frame)
+    # Host frames stay BGR end-to-end: original frames are written back
+    # with ZERO swap passes, and the one swap the device input needs is
+    # fused into the threaded native pair-packer (rrin_tpu/native).
+    reader = VideoReader(input_path, queue_depth=queue_depth,
+                         start_frame=start_frame, rgb=False)
     meta = reader.meta
     out_fps = fps_out if fps_out is not None else meta.fps * (1 << exp)
     writer = VideoWriter(
         output_path, out_fps, (meta.height, meta.width), fourcc=fourcc,
-        queue_depth=queue_depth * (m + 1),
+        queue_depth=queue_depth * (m + 1), input_rgb=False,
     )
 
     timers = StageTimers()
@@ -308,7 +314,7 @@ def interpolate_video(
 
     # In-flight window: (list of left frames, device result) per step.
     inflight: "collections.deque" = collections.deque()
-    pending_pairs: List[np.ndarray] = []  # stacked (2, H, W, 3) uint8
+    pending_pairs: List[tuple] = []  # (prev, frame) BGR uint8 pairs
     pending_lefts: List[np.ndarray] = []
     prev: Optional[np.ndarray] = None
     last_frame: Optional[np.ndarray] = None
@@ -323,9 +329,9 @@ def interpolate_video(
         timers.d2h += time.perf_counter() - t0
         t0 = time.perf_counter()
         for i, left in enumerate(lefts):
-            writer.write(left)
+            writer.write(left)  # BGR passthrough, no swap
             for j in range(m):
-                writer.write(mids[i, j])
+                writer.write(mids[i, j], rgb=True)  # device output is RGB
         timers.encode_wait += time.perf_counter() - t0
 
     def dispatch(pairs: List[np.ndarray], lefts: List[np.ndarray]) -> None:
@@ -335,7 +341,16 @@ def interpolate_video(
             # Pad the tail batch so the jit signature stays unique; the
             # padded rows are computed then dropped (lefts is shorter).
             pairs = pairs + [pairs[-1]] * (batch_size - n)
-        batch = np.stack(pairs)  # (B, 2, H, W, 3) uint8
+        t0 = time.perf_counter()
+        # Fused BGR->RGB + pack into the device batch buffer (threaded
+        # C++; numpy fallback). A fresh buffer per dispatch: the previous
+        # one may still be staging for an in-flight device transfer.
+        batch = np.empty((batch_size, 2) + pairs[0][0].shape, np.uint8)
+        for i, (a, b) in enumerate(pairs):
+            if not native.pack_pair_bgr(a, b, batch, i):
+                batch[i, 0] = a[..., ::-1]
+                batch[i, 1] = b[..., ::-1]
+        timers.pack += time.perf_counter() - t0
         t0 = time.perf_counter()
         dev = interp.step(batch)[: len(lefts)]
         dt = time.perf_counter() - t0
@@ -356,7 +371,7 @@ def interpolate_video(
             frames_in += 1
             last_frame = frame
             if prev is not None:
-                pending_pairs.append(np.stack([prev, frame]))
+                pending_pairs.append((prev, frame))
                 pending_lefts.append(prev)
                 pairs_done += 1
                 if len(pending_pairs) == batch_size:
