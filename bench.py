@@ -94,8 +94,46 @@ def run_selfcheck() -> dict:
     )
     report["conv_psnr_db"] = round(_psnr_db(refc, gotc), 1)
 
+    # Carried-layout conv kernel: dual-operand (fused skip concat) site.
+    from rrin_tpu.ops.conv_packed import (
+        _conv_packed_xla,
+        _conv_up_packed_xla,
+        conv_packed,
+        conv_up_packed,
+    )
+    from rrin_tpu.ops.packed import pack
+
+    a = jnp.asarray(rng.random((1, 64, 440, 16), dtype=np.float32))
+    bb = jnp.asarray(rng.random((1, 64, 440, 16), dtype=np.float32))
+    ap, aspec = pack(a, p=4, off=0, m=112)
+    bp, bspec = pack(bb, p=4, off=0, m=112)
+    wd = jnp.asarray((rng.random((3, 3, 32, 32), dtype=np.float32) - 0.5) * 0.3)
+    bd = jnp.asarray((rng.random(32, dtype=np.float32) - 0.5))
+    parts = [(ap, aspec, 16), (bp, bspec, 16)]
+    gotp, _ = conv_packed(parts, wd, bd, 3, 0.1)
+    refp = _conv_packed_xla(
+        [ap, bp], wd, bd, (aspec, bspec), (16, 16), 3, 0.1
+    )
+    report["conv_packed_psnr_db"] = round(
+        _psnr_db(np.asarray(refp), np.asarray(gotp)), 1
+    )
+
+    # Fused upsample+conv kernel (the up3/up4 fast path).
+    cu = jnp.asarray(rng.random((1, 32, 216, 64), dtype=np.float32))
+    cup, cuspec = pack(cu, p=2, off=0, m=112)
+    wu = jnp.asarray((rng.random((3, 3, 64, 32), dtype=np.float32) - 0.5) * 0.3)
+    bu = jnp.asarray((rng.random(32, dtype=np.float32) - 0.5))
+    gotu, _ = conv_up_packed(cup, cuspec, 64, wu, bu, 3, 0.1)
+    refu = _conv_up_packed_xla(cup, wu, bu, cuspec, 64, 3, 0.1)
+    report["conv_up_psnr_db"] = round(
+        _psnr_db(np.asarray(refu), np.asarray(gotu)), 1
+    )
+
     report["ok"] = bool(
-        report["warp_psnr_db"] > 60.0 and report["conv_psnr_db"] > 60.0
+        report["warp_psnr_db"] > 60.0
+        and report["conv_psnr_db"] > 60.0
+        and report["conv_packed_psnr_db"] > 60.0
+        and report["conv_up_psnr_db"] > 60.0
     )
     return report
 

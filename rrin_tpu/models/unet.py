@@ -199,7 +199,12 @@ def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
     order (tests/test_unet_packed.py). Inference-only: the packed conv has
     no VJP — training uses the plain path.
     """
-    from rrin_tpu.ops.conv_packed import conv_packed, min_h
+    from rrin_tpu.ops.conv_packed import (
+        conv_packed,
+        conv_up_packed,
+        min_h,
+        supports_up,
+    )
     from rrin_tpu.ops.packed import (
         PackedSpec,
         avg_pool_2x_packed,
@@ -221,6 +226,17 @@ def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
 
     def conv(parts, prm, off_out, slope=s):
         return conv_packed(parts, prm["w"], prm["b"], off_out, slope)
+
+    def conv_up(t, ts, real_c, prm, off_out):
+        """2x upsample + conv1 of an up stage: fused kernel when the site
+        qualifies (never materializes the doubled tensor — see
+        ops/conv_packed.py), else packed upsample + packed conv."""
+        if supports_up(ts, prm["w"].shape[0], prm["w"].shape[3],
+                       2 * t.shape[1]) and ts.c == real_c:
+            return conv_up_packed(t, ts, real_c, prm["w"], prm["b"],
+                                  off_out, s)
+        tu, tus = upsample_2x_packed(t, ts)
+        return conv([(tu, tus, real_c)], prm, off_out)
 
     # Stem + down1: P=4 then P=2, packed end-to-end.
     xp, sp = pack(x, 4, _PK["entry"], m0, c_pad=32)
@@ -248,7 +264,33 @@ def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
         t3, t3s = conv([(t3, t3s, 128)], p["down3"]["conv1"], 0)
         s4p, s4s = conv([(t3, t3s, 256)], p["down3"]["conv2"], 0)
         s4n = unpack(s4p, s4s)
-        xn = _down(s4n, p["down4"], s)  # level 4 stays plain (H/16)
+        # Level 4 (C=512, H/16): P=1 packed kernel with H padded to a
+        # multiple of 8 (SAME zero-pad semantics make the pad exact) —
+        # XLA ran these convs in a T(2,128) layout with an unfused
+        # bias+LeakyReLU pass worth several ms/frame at 1080p.
+        x4 = avg_pool_2x(s4n)
+        h4, w4 = x4.shape[1], x4.shape[2]
+        hp4 = -(-h4 // 8) * 8
+        m4 = -(-w4 // 8) * 8
+        k4 = cfg.down_kernels[3]
+        w4c, w5c = cfg.widths[3], cfg.widths[4]
+        if (hp4 >= min_h(k4) and k4 % 2 == 1
+                and max(w4c, w5c) <= 4 * 128):
+            if hp4 > h4:
+                x4 = jnp.pad(x4, ((0, 0), (0, hp4 - h4), (0, 0), (0, 0)))
+            t4, t4s = pack(x4, 1, 0, m4)
+            t4, t4s = conv([(t4, t4s, w4c)], p["down4"]["conv1"], 0)
+            if hp4 > h4:
+                # conv1's bias+LReLU left nonzeros in the H-pad rows;
+                # re-zero so conv2's bottom edge sees SAME zero padding.
+                t4 = jnp.concatenate(
+                    [t4[:, :h4], jnp.zeros_like(t4[:, h4:])], axis=1
+                )
+            t4, t4s = conv([(t4, t4s, w5c)], p["down4"]["conv2"], 0)
+            xn = unpack(t4, t4s)[:, :h4]
+        else:
+            xn = _conv_act(x4, p["down4"]["conv1"], s)
+            xn = _conv_act(xn, p["down4"]["conv2"], s)
         xu3 = upsample_2x_bilinear(xn)
         t3, t3s = pack(xu3, 1, 0, m3)
         t3, t3s = conv([(t3, t3s, 512)], p["up1"]["conv1"], 0)
@@ -276,16 +318,14 @@ def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
         )
         t, ts = pack(xn, 1, _PK["l2"], m0)
 
-    # up3 (level 1, P=2): packed upsample doubles P, M constant.
-    t, ts = upsample_2x_packed(t, ts)
-    t, ts = conv([(t, ts, 128)], p["up3"]["conv1"], _PK["u3c1"])
+    # up3 (level 1, P=2): fused upsample+conv, M constant.
+    t, ts = conv_up(t, ts, 128, p["up3"]["conv1"], _PK["u3c1"])
     t, ts = conv(
         [(t, ts, 64), (s2, s2s, 64)], p["up3"]["conv2"], _PK["u3c2"]
     )
 
     # up4 (level 0, P=4).
-    t, ts = upsample_2x_packed(t, ts)
-    t, ts = conv([(t, ts, 64)], p["up4"]["conv1"], _PK["u4c1"])
+    t, ts = conv_up(t, ts, 64, p["up4"]["conv1"], _PK["u4c1"])
     t, ts = conv(
         [(t, ts, 32), (s1, s1s, 32)], p["up4"]["conv2"], _PK["u4c2"]
     )

@@ -247,6 +247,303 @@ def _conv_packed_impl(
     )(*xs, *b2s, bias_lanes)
 
 
+# ---------------------------------------------------------------------------
+# Fused 2x-bilinear-upsample + conv kernel.
+#
+# Round-2 profiling: upsample_2x_packed's H-interleave (stack+reshape) and
+# W lane shuffles were ~26 ms of the 148 ms 1080p frame — XLA materializes
+# the doubled tensor with full-size copies at every up stage. This kernel
+# never materializes it: it DMAs a WINDOW OF THE HALF-RES tensor (half the
+# bytes) and constructs the upsampled rows it needs in VMEM:
+#
+#   * H: upsampled row u = w0*src[j] + w1*src[j+1] with j = (u-1)>>1 and
+#     (w0, w1) = (0.25, 0.75) for even u, (0.75, 0.25) for odd — and since
+#     the row-block base r0 is even, the parity (and so the weights and
+#     the static row offsets) are compile-time constants per unrolled row.
+#     H-edge clamp = clamping j into [0, Hh); conv H zero-guard = zeroing
+#     rows with u outside [0, 2*Hh).
+#   * W: P doubles in place (out group g covers src group g, M constant),
+#     so out slots (2j, 2j+1) are 0.25/0.75 combos of src slots j-1,j,j+1
+#     — pure lane-block arithmetic with one sublane roll for the group
+#     boundary. The W-edge clamp corrections collapse to ONE static
+#     multiplicative mask: at the first/last real pixel the out-of-range
+#     tap hit a guard ZERO instead of the clamped edge value, so the
+#     computed value is exactly 3/4 of the true one (x 4/3 fixes it), and
+#     the two guard slots adjacent to real data catch a 0.25*real leak
+#     (x 0 re-zeroes them). Everything further out is upsampled zeros.
+#
+# The contraction is then the standard block-Toeplitz loop (same B2) over
+# the constructed rows — with STATIC row indices (no sentinel redirect),
+# since uwin[i] holds exactly upsampled row r0-hh+i.
+# ---------------------------------------------------------------------------
+
+WIN_SRC = 16  # half-res window rows (covers RB/2 + hh + 2 for k <= 5)
+
+
+def supports_up(spec: PackedSpec, k: int, cout: int, h_out: int) -> bool:
+    """Static routability of a fused upsample+conv site (single operand).
+    ``spec`` describes the HALF-res input; output is (2*spec.p)-packed."""
+    p_out = 2 * spec.p
+    return (
+        k % 2 == 1
+        and k <= 5
+        and h_out % RB == 0
+        and h_out == 2 * (h_out // 2)
+        and h_out // 2 >= WIN_SRC
+        and spec.m % 8 == 0
+        and p_out * cout <= 4 * LANES
+        and p_out * spec.c <= 4 * LANES
+        # The W-expansion's lane-slot arithmetic assumes no lane padding.
+        and (spec.p * spec.c) % LANES == 0
+    )
+
+
+def _kernel_body_up(
+    *, k: int, q: int, m: int, h_src: int, wl: int, s_shift: int,
+    lin_half: int, lin_up: int, lout: int, cout: int, p_in: int,
+    off_in: int, w_half: int, off_out: int, slope: Optional[float],
+    out_dtype,
+):
+    hh = (k - 1) // 2
+    h_out = 2 * h_src
+    p_out = 2 * p_in
+    c = lin_half // p_in  # padded channels (lane layout), p_in*c == lin_half
+    n_rows = RB + 2 * hh
+
+    def kernel(x_ref, b2_ref, bias_ref, out_ref, swin, uwin, cmask, sem):
+        bi = pl.program_id(0)
+        ri = pl.program_id(1)
+        r0 = ri * RB
+        base = r0 // 2  # first src row of interest (before offsets)
+        ws = jnp.clip(((base - hh) >> 3) << 3, 0, h_src - WIN_SRC)
+        ws = pl.multiple_of(ws, 8)
+
+        cpy = pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(ws, WIN_SRC), :, :],
+            swin.at[pl.ds(0, WIN_SRC), pl.ds(wl, m), :],
+            sem,
+        )
+        cpy.start()
+
+        mw = swin.shape[1]
+
+        @pl.when(jnp.logical_and(bi == 0, ri == 0))
+        def _():
+            if wl:
+                swin[:, :wl, :] = jnp.zeros_like(swin[:, :wl, :])
+            if mw > wl + m:
+                swin[:, wl + m:, :] = jnp.zeros_like(swin[:, wl + m:, :])
+            # The W-correction mask (see module comment): 4/3 at the
+            # first/last real out pixel, 0 at the two adjacent guard
+            # slots, 1 elsewhere. Static in (group, lane) coords.
+            gi = jax.lax.broadcasted_iota(jnp.int32, (mw, lin_up), 0)
+            li = jax.lax.broadcasted_iota(jnp.int32, (mw, lin_up), 1)
+            pix = p_out * (gi - wl) + li // c
+            p_first = 2 * off_in
+            p_last = 2 * off_in + 2 * w_half - 1
+            mask = jnp.ones((mw, lin_up), jnp.float32)
+            mask = jnp.where(
+                (pix == p_first) | (pix == p_last), 4.0 / 3.0, mask
+            )
+            mask = jnp.where(
+                (pix == p_first - 1) | (pix == p_last + 1), 0.0, mask
+            )
+            cmask[...] = mask.astype(cmask.dtype)
+
+        # Output guard mask (same as the plain kernel).
+        mi = jax.lax.broadcasted_iota(jnp.int32, (m, lout), 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (m, lout), 1)
+        pixo = p_out * mi + li // cout
+        gmask = jnp.logical_and(pixo >= off_out, pixo < off_out + 2 * w_half)
+
+        cpy.wait()
+
+        # Construct the n_rows upsampled rows this block needs.
+        for i in range(n_rows):
+            du = i - hh  # upsampled row u = r0 + du (parity of du static)
+            o0 = (du - 1) >> 1  # floor((du-1)/2): static
+            w0, w1 = (0.75, 0.25) if (du & 1) else (0.25, 0.75)
+            j0 = jnp.clip(base + o0, 0, h_src - 1)
+            j1 = jnp.clip(base + o0 + 1, 0, h_src - 1)
+            row0 = swin[j0 - ws]
+            row1 = swin[j1 - ws]
+            hrow = (w0 * row0.astype(jnp.float32)
+                    + w1 * row1.astype(jnp.float32))
+            # W expansion: out slots (2j, 2j+1) from src slots j-1, j, j+1.
+            prv = jnp.concatenate(
+                [jnp.zeros_like(hrow[:1]), hrow[:-1]], axis=0
+            )
+            nxt = jnp.concatenate(
+                [hrow[1:], jnp.zeros_like(hrow[:1])], axis=0
+            )
+
+            def slot(j):
+                if j < 0:
+                    return prv[:, (j + p_in) * c:(j + p_in + 1) * c]
+                if j >= p_in:
+                    return nxt[:, (j - p_in) * c:(j - p_in + 1) * c]
+                return hrow[:, j * c:(j + 1) * c]
+
+            blocks = []
+            for j in range(p_in):
+                blocks.append(0.25 * slot(j - 1) + 0.75 * slot(j))
+                blocks.append(0.75 * slot(j) + 0.25 * slot(j + 1))
+            urow = jnp.concatenate(blocks, axis=-1) * cmask[...]
+            u = r0 + du
+            valid = jnp.logical_and(u >= 0, u < h_out)
+            uwin[i] = jnp.where(valid, urow, 0.0).astype(uwin.dtype)
+
+        for yo in range(RB):
+            acc = jnp.zeros((m, lout), jnp.float32)
+            for dy in range(k):
+                for qi in range(q):
+                    cs = wl + s_shift + qi
+                    acc = acc + jnp.dot(
+                        uwin[yo + dy, pl.ds(cs, m), :],
+                        b2_ref[dy * q + qi],
+                        preferred_element_type=jnp.float32,
+                    )
+            acc = acc + bias_ref[:]
+            if slope is not None:
+                acc = jnp.where(acc >= 0, acc, slope * acc)
+            acc = jnp.where(gmask, acc, 0.0)
+            out_ref[0, yo] = acc.astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "real_c", "k", "cout", "off_out",
+                              "slope"),
+)
+def _conv_up_packed_impl(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    k: int,
+    cout: int,
+    off_out: int,
+    slope: Optional[float],
+) -> jnp.ndarray:
+    b, h_src, m, lin_half = x.shape
+    p_in = spec.p
+    p_out = 2 * p_in
+    hh = (k - 1) // 2
+    q = q_count(k, p_out)
+    dtype = x.dtype
+    h_out = 2 * h_src
+
+    assert x.shape == (b, h_src, m, _round_up(p_in * spec.c, LANES)), (
+        x.shape, spec)
+    assert p_in * spec.c == lin_half, (spec, lin_half)  # lane-exact packing
+    assert h_out % RB == 0 and h_src >= WIN_SRC, (h_out, h_src)
+    up_off = 2 * spec.off
+    assert (up_off - hh - off_out) % p_out == 0, (spec, k, off_out)
+    s = (up_off - hh - off_out) // p_out
+
+    wi = w
+    if real_c < spec.c:
+        wi = jnp.pad(wi, ((0, 0), (0, 0), (0, spec.c - real_c), (0, 0)))
+    b2 = _build_b2(wi.astype(dtype), p_out)  # (k*q, p_out*spec.c, p_out*cout)
+    lin_up = 2 * lin_half
+    if p_out * spec.c < lin_up:
+        b2 = jnp.pad(b2, ((0, 0), (0, lin_up - p_out * spec.c), (0, 0)))
+    wl = _round_up(max(0, -s), 8)
+    lout = p_out * cout
+    bias_lanes = jnp.tile(bias.astype(jnp.float32), (p_out,)).reshape(1, lout)
+
+    mw = wl + m + max(0, s + q - 1)
+    kernel = _kernel_body_up(
+        k=k, q=q, m=m, h_src=h_src, wl=wl, s_shift=s, lin_half=lin_half,
+        lin_up=lin_up, lout=lout, cout=cout, p_in=p_in, off_in=spec.off,
+        w_half=spec.w, off_out=off_out, slope=slope, out_dtype=dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h_out // RB),
+        out_shape=jax.ShapeDtypeStruct((b, h_out, m, lout), dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, RB, m, lout), lambda bi, ri: (bi, ri, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_SRC, mw, lin_half), dtype),
+            pltpu.VMEM((RB + 2 * hh, mw, lin_up), dtype),
+            pltpu.VMEM((mw, lin_up), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(x, b2, bias_lanes)
+
+
+def _conv_up_packed_xla(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    off_out: int,
+    slope: Optional[float],
+) -> jnp.ndarray:
+    """Reference/fallback: packed upsample -> unpack -> XLA conv -> repack."""
+    from rrin_tpu.ops.packed import upsample_2x_packed
+
+    xu, su = upsample_2x_packed(x[..., : spec.lanes], spec)
+    xn = unpack(xu, su, c=real_c)
+    y = _conv_xla(xn, w.astype(xn.dtype), bias, slope)
+    yp, _ = pack(y, su.p, off_out, su.m)
+    return yp
+
+
+def conv_up_packed(
+    x: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    off_out: int,
+    slope: Optional[float] = None,
+) -> Tuple[jnp.ndarray, PackedSpec]:
+    """Fused 2x-bilinear-upsample + conv2d(stride 1, SAME) + bias + LReLU.
+
+    ``x``/``spec`` describe the HALF-resolution packed input; the result is
+    the conv applied to its 2x bilinear upsample (torch align_corners=False
+    semantics, identical to upsample_2x_packed + conv_packed), packed at
+    ``off_out`` with P doubled and M unchanged. The doubled tensor is never
+    materialized in HBM. Inference-only (no VJP); Mosaic on TPU, XLA
+    elsewhere.
+    """
+    k = w.shape[0]
+    cout = w.shape[3]
+    assert real_c == w.shape[2], (real_c, w.shape)
+    xp = pad_lanes(x, _round_up(spec.p * spec.c, LANES))
+    out_spec = PackedSpec(
+        p=2 * spec.p, c=cout, w=2 * spec.w, off=off_out, m=spec.m
+    )
+    if _FORCE_KERNEL:  # interpret-mode tests on CPU
+        y = _conv_up_packed_impl(
+            xp, w.astype(xp.dtype), bias, spec, real_c, k, cout, off_out,
+            slope,
+        )
+        return y, out_spec
+    y = jax.lax.platform_dependent(
+        xp, w, bias,
+        tpu=lambda a, ww, bb: _conv_up_packed_impl(
+            a, ww.astype(a.dtype), bb, spec, real_c, k, cout, off_out, slope,
+        ),
+        default=lambda a, ww, bb: _conv_up_packed_xla(
+            a, ww, bb, spec, real_c, off_out, slope
+        ),
+    )
+    return y, out_spec
+
+
 def _conv_packed_xla(
     xs: Sequence[jnp.ndarray],
     w: jnp.ndarray,
