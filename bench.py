@@ -129,22 +129,45 @@ def run_selfcheck() -> dict:
         _psnr_db(np.asarray(refu), np.asarray(gotu)), 1
     )
 
+    # int8 variants of both packed kernels vs the fake-quant XLA fallback
+    # (same int8 grid; difference is int32-exact vs f32 accumulation).
+    amax = (jnp.max(jnp.abs(a)), jnp.max(jnp.abs(bb)))
+    gotq, _ = conv_packed(parts, wd, bd, 3, 0.1, in_absmax=amax)
+    refq = _conv_packed_xla(
+        [ap, bp], wd, bd, (aspec, bspec), (16, 16), 3, 0.1, amax
+    )
+    report["conv_int8_psnr_db"] = round(
+        _psnr_db(np.asarray(refq), np.asarray(gotq)), 1
+    )
+    amu = jnp.max(jnp.abs(cu))
+    gotuq, _ = conv_up_packed(cup, cuspec, 64, wu, bu, 3, 0.1,
+                              in_absmax=amu)
+    refuq = _conv_up_packed_xla(cup, wu, bu, cuspec, 64, 3, 0.1, amu)
+    report["conv_up_int8_psnr_db"] = round(
+        _psnr_db(np.asarray(refuq), np.asarray(gotuq)), 1
+    )
+
     report["ok"] = bool(
         report["warp_psnr_db"] > 60.0
         and report["conv_psnr_db"] > 60.0
         and report["conv_packed_psnr_db"] > 60.0
         and report["conv_up_psnr_db"] > 60.0
+        and report["conv_int8_psnr_db"] > 40.0
+        and report["conv_up_int8_psnr_db"] > 40.0
     )
     return report
 
 
 def run_bench(size: str = "1080p", iters: int = 10, batch: int = 1,
-              use_pallas: bool = True, warmup: int = 2) -> dict:
+              use_pallas: bool = True, warmup: int = 2,
+              int8: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
     from rrin_tpu.config import ModelConfig
-    from rrin_tpu.models.rrin import forward, init_params
+    from rrin_tpu.models.rrin import (
+        forward, forward_calibrate, init_params, scale_quant_stats,
+    )
 
     cfg = ModelConfig()
     params = init_params(jax.random.key(0), cfg)
@@ -153,9 +176,27 @@ def run_bench(size: str = "1080p", iters: int = 10, batch: int = 1,
     i0 = jnp.asarray(rng.random((batch, h, w, 3), dtype=np.float32))
     i1 = jnp.asarray(rng.random((batch, h, w, 3), dtype=np.float32))
 
+    quant_stats = None
+    int8_psnr = None
+    if int8:
+        # Calibrate once on the bench pair (the pipeline calibrates on its
+        # first batch the same way), then gate quality vs the bf16 output.
+        _, stats = forward_calibrate(
+            params, i0, i1, 0.5, cfg=cfg, compute_dtype=jnp.bfloat16,
+            use_pallas=use_pallas,
+        )
+        quant_stats = scale_quant_stats(stats, 1.2)
+
     def step(a, b):
         return forward(params, a, b, 0.5, cfg=cfg, compute_dtype=jnp.bfloat16,
-                       use_pallas=use_pallas, packed=use_pallas)
+                       use_pallas=use_pallas, packed=use_pallas or int8,
+                       quant_stats=quant_stats)
+
+    if int8:
+        ref = forward(params, i0, i1, 0.5, cfg=cfg,
+                      compute_dtype=jnp.bfloat16, use_pallas=use_pallas,
+                      packed=use_pallas)
+        int8_psnr = round(_psnr_db(np.asarray(ref), np.asarray(step(i0, i1))), 1)
 
     # Warm-up: compile + remote program load (can dominate on tunneled TPU).
     t0 = time.perf_counter()
@@ -177,7 +218,7 @@ def run_bench(size: str = "1080p", iters: int = 10, batch: int = 1,
     fps = batch / dt
 
     baseline = TORCH_CPU_BASELINE_FPS.get(size)
-    return {
+    r = {
         "metric": f"{size}_2x_interp_fps_per_chip",
         "value": round(fps, 3),
         "unit": "frames/sec",
@@ -191,6 +232,10 @@ def run_bench(size: str = "1080p", iters: int = 10, batch: int = 1,
             "baseline": "torch-2.13-cpu oracle fp32 on this host (BASELINE.md)",
         },
     }
+    if int8:
+        r["metric"] = f"{size}_2x_interp_fps_per_chip_int8"
+        r["detail"]["int8_vs_bf16_psnr_db"] = int8_psnr
+    return r
 
 
 def main() -> int:
@@ -199,6 +244,10 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="measure the calibrated int8 packed path (the "
+                   "headline metric becomes *_int8; detail carries the "
+                   "int8-vs-bf16 PSNR quality gate)")
     p.add_argument("--full-json", action="store_true",
                    help="pretty-print with detail (driver mode prints 1 line)")
     p.add_argument("--skip-extras", action="store_true",
@@ -212,13 +261,21 @@ def main() -> int:
         print(json.dumps({"selfcheck": run_selfcheck()}))
         return 0
 
-    r = run_bench(args.size, args.iters, args.batch, use_pallas=not args.no_pallas)
+    r = run_bench(args.size, args.iters, args.batch,
+                  use_pallas=not args.no_pallas, int8=args.int8)
     if not args.skip_extras:
         # BASELINE.json metric 1: Vimeo-size 448x256 batch-8 fps/chip.
         v = run_bench("vimeo", max(args.iters, 10), batch=8,
                       use_pallas=not args.no_pallas)
         r["detail"]["vimeo_448x256_b8_fps_per_chip"] = v["value"]
         r["detail"]["vimeo_vs_baseline"] = v["vs_baseline"]
+        # int8 lever (docs/PERFORMANCE.md lever 4), measured + PSNR-gated.
+        vi = run_bench("vimeo", max(args.iters, 10), batch=8,
+                       use_pallas=not args.no_pallas, int8=True)
+        r["detail"]["vimeo_448x256_b8_int8_fps_per_chip"] = vi["value"]
+        r["detail"]["int8_vs_bf16_psnr_db"] = (
+            vi["detail"]["int8_vs_bf16_psnr_db"]
+        )
         # SURVEY.md §4: kernel parity ON DEVICE, recorded as an artifact.
         r["detail"]["selfcheck"] = run_selfcheck()
 
@@ -232,6 +289,9 @@ def main() -> int:
                 "vimeo_448x256_b8_fps_per_chip":
                     d["vimeo_448x256_b8_fps_per_chip"],
                 "vimeo_vs_baseline": d["vimeo_vs_baseline"],
+                "vimeo_448x256_b8_int8_fps_per_chip":
+                    d["vimeo_448x256_b8_int8_fps_per_chip"],
+                "int8_vs_bf16_psnr_db": d["int8_vs_bf16_psnr_db"],
                 "selfcheck": d["selfcheck"],
             }
         print(json.dumps(line))

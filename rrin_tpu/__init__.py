@@ -27,7 +27,13 @@ Public API (mirrors the reference surface, SURVEY.md §1 L3/L5):
 """
 
 from rrin_tpu.config import ModelConfig
-from rrin_tpu.models.rrin import RRIN, init_params, forward
+from rrin_tpu.models.rrin import (
+    RRIN,
+    forward,
+    forward_calibrate,
+    init_params,
+    merge_quant_stats,
+)
 
 __version__ = "0.1.0"
 
@@ -36,5 +42,7 @@ __all__ = [
     "ModelConfig",
     "init_params",
     "forward",
+    "forward_calibrate",
+    "merge_quant_stats",
     "__version__",
 ]

@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--fp32", action="store_true",
                    help="full float32 compute (default bfloat16 on TPU)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 U-Net convs (v5e MXU fast path): calibrates "
+                   "activation ranges on the first batch; >35 dB vs the "
+                   "fp32 output (single-device packed path only)")
+    p.add_argument("--int8-margin", type=float, default=1.2,
+                   help="safety factor on the calibrated int8 activation "
+                   "ranges (guards later frames exceeding the first "
+                   "batch's ranges)")
     p.add_argument("--no-pallas", action="store_true",
                    help="use the pure-XLA warp instead of the Pallas kernel")
     p.add_argument("--fps", type=float, default=None,
@@ -143,6 +151,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         progress=not args.quiet,
         data_parallel=args.data_parallel,
         spatial=args.spatial,
+        int8=args.int8,
+        int8_margin=args.int8_margin,
     )
     with profile_cm:
         if args.segment_pairs > 0:

@@ -59,6 +59,49 @@ def _as_t(t: Union[float, jnp.ndarray], batch: int) -> jnp.ndarray:
     return t.reshape(-1, 1, 1, 1)
 
 
+def _cascade(
+    run_unet,
+    i0f: jnp.ndarray,
+    i1f: jnp.ndarray,
+    tb: jnp.ndarray,
+    cfg: ModelConfig,
+    use_pallas: bool,
+    pairs: bool,
+) -> jnp.ndarray:
+    """The shared 4-UNet dataflow (SURVEY.md App-A); ``run_unet(name,
+    *feats)`` applies one U-Net to the channel-concat of ``feats``."""
+    # 1. coarse bidirectional flow
+    flows = run_unet("flow", i0f, i1f)
+    f01, f10 = flows[..., :2], flows[..., 2:]
+
+    # 2. flow-to-time projection (fp32)
+    ft0 = -(1.0 - tb) * tb * f01 + tb * tb * f10
+    ft1 = (1.0 - tb) * (1.0 - tb) * f01 - tb * (1.0 - tb) * f10
+
+    # 3. residual flow refinement
+    res = run_unet("refine", ft0, ft1, i0f, i1f)
+    ft0 = ft0 + res[..., :2]
+    ft1 = ft1 + res[..., 2:]
+
+    # 4. backward bilinear warp of both frames (fp32 accumulation; the
+    # bf16 compute path uses the channel-paired gather variant — 2/3 the
+    # gathers and window bytes at bf16-input-rounding quality cost)
+    g0, g1 = warp_pair(
+        i0f, i1f, ft0, ft1, align_corners=cfg.align_corners,
+        use_pallas=use_pallas, pairs=pairs,
+    )
+
+    # 5. adaptive weight map + normalized blend (fp32)
+    m = jax.nn.sigmoid(run_unet("mask", ft0, ft1, i0f, i1f, g0, g1))
+    w0 = (1.0 - tb) * m[..., 0:1]
+    w1 = tb * m[..., 1:2]
+    coarse = (w0 * g0 + w1 * g1) / (w0 + w1 + cfg.blend_eps)
+
+    # 6. residue refinement
+    out = coarse + run_unet("final", i0f, i1f, coarse)
+    return jnp.clip(out, 0.0, 1.0)
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "use_pallas", "remat", "packed"),
@@ -73,6 +116,7 @@ def forward(
     use_pallas: bool = False,
     remat: bool = False,
     packed: bool = False,
+    quant_stats: Optional[Dict[str, Dict[str, jnp.ndarray]]] = None,
 ) -> jnp.ndarray:
     """Interpolate the frame at time t between i0 and i1.
 
@@ -91,6 +135,11 @@ def forward(
         removes the per-kernel layout round-trips. INFERENCE ONLY (the
         packed conv has no VJP); silently falls back to the plain path
         when the shape/config does not support it.
+      quant_stats: calibration stats from :func:`forward_calibrate`
+        (per-UNet activation |x| maxima). Requires ``packed``; every
+        packed-kernel conv then runs int8 x int8 -> int32 on the MXU
+        (~1.7x the bf16 MXU rate on v5e, half the window DMA bytes).
+        Quality bar: >35 dB PSNR vs the fp32 output (tests/test_int8.py).
 
     Returns (B, H, W, 3) float32 frame in [0, 1].
     """
@@ -112,49 +161,76 @@ def forward(
 
     if packed and remat:
         raise ValueError("packed=True is inference-only (no remat/VJP)")
-    base_fn = (
-        unet_apply_packed
-        if packed and packed_supported(i0.shape[-3], i0.shape[-2], cfg)
-        else unet_apply
-    )
+    use_packed = packed and packed_supported(i0.shape[-3], i0.shape[-2], cfg)
+    if quant_stats is not None and not use_packed:
+        raise ValueError(
+            "quant_stats (int8) requires the packed fast path — pass "
+            "packed=True on a supported shape/config"
+        )
+    base_fn = unet_apply_packed if use_packed else unet_apply
     apply_fn = (
         jax.checkpoint(base_fn, static_argnums=(2,)) if remat else base_fn
     )
 
     def run_unet(name: str, *feats: jnp.ndarray) -> jnp.ndarray:
         x = jnp.concatenate([f.astype(cd) for f in feats], axis=-1)
+        if quant_stats is not None:
+            return apply_fn(params[name], x, cfg, quant_stats[name]).astype(f32)
         return apply_fn(params[name], x, cfg).astype(f32)
 
-    # 1. coarse bidirectional flow
-    flows = run_unet("flow", i0f, i1f)
-    f01, f10 = flows[..., :2], flows[..., 2:]
-
-    # 2. flow-to-time projection (fp32)
-    ft0 = -(1.0 - tb) * tb * f01 + tb * tb * f10
-    ft1 = (1.0 - tb) * (1.0 - tb) * f01 - tb * (1.0 - tb) * f10
-
-    # 3. residual flow refinement
-    res = run_unet("refine", ft0, ft1, i0f, i1f)
-    ft0 = ft0 + res[..., :2]
-    ft1 = ft1 + res[..., 2:]
-
-    # 4. backward bilinear warp of both frames (fp32 accumulation; the
-    # bf16 compute path uses the channel-paired gather variant — 2/3 the
-    # gathers and window bytes at bf16-input-rounding quality cost)
-    g0, g1 = warp_pair(
-        i0f, i1f, ft0, ft1, align_corners=cfg.align_corners,
-        use_pallas=use_pallas, pairs=(cd == jnp.bfloat16),
+    return _cascade(
+        run_unet, i0f, i1f, tb, cfg, use_pallas, pairs=(cd == jnp.bfloat16)
     )
 
-    # 5. adaptive weight map + normalized blend (fp32)
-    m = jax.nn.sigmoid(run_unet("mask", ft0, ft1, i0f, i1f, g0, g1))
-    w0 = (1.0 - tb) * m[..., 0:1]
-    w1 = tb * m[..., 1:2]
-    coarse = (w0 * g0 + w1 * g1) / (w0 + w1 + cfg.blend_eps)
 
-    # 6. residue refinement
-    out = coarse + run_unet("final", i0f, i1f, coarse)
-    return jnp.clip(out, 0.0, 1.0)
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "use_pallas"))
+def forward_calibrate(
+    params: Params,
+    i0: jnp.ndarray,
+    i1: jnp.ndarray,
+    t: Union[float, jnp.ndarray] = 0.5,
+    cfg: ModelConfig = ModelConfig(),
+    compute_dtype: jnp.dtype = jnp.float32,
+    use_pallas: bool = False,
+) -> tuple:
+    """:func:`forward` + int8 calibration stats (SURVEY.md has no analog —
+    this is the TPU int8 lever, docs/PERFORMANCE.md lever 4).
+
+    Runs the plain (unpacked) cascade recording every conv operand's |x|
+    max per U-Net. Returns ``(out, stats)``; fold stats over several
+    calibration pairs with :func:`merge_quant_stats`, then pass the result
+    as ``forward(..., quant_stats=...)``.
+    """
+    from rrin_tpu.models.unet import unet_apply_stats
+
+    b = i0.shape[0]
+    tb = _as_t(t, b)
+    f32 = jnp.float32
+    cd = compute_dtype
+    stats: Dict[str, Dict[str, jnp.ndarray]] = {}
+
+    def run_unet(name: str, *feats: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.concatenate([f.astype(cd) for f in feats], axis=-1)
+        out, st = unet_apply_stats(params[name], x, cfg)
+        stats[name] = st
+        return out.astype(f32)
+
+    out = _cascade(
+        run_unet, i0.astype(f32), i1.astype(f32), tb, cfg, use_pallas,
+        pairs=(cd == jnp.bfloat16),
+    )
+    return out, stats
+
+
+def merge_quant_stats(a, b):
+    """Elementwise max of two calibration-stats pytrees."""
+    return jax.tree.map(jnp.maximum, a, b)
+
+
+def scale_quant_stats(stats, margin: float):
+    """Scale calibration ranges by a safety margin (>1 guards frames whose
+    activations exceed the calibration set's; costs ~log2(margin) bits)."""
+    return jax.tree.map(lambda s: s * jnp.float32(margin), stats)
 
 
 @dataclasses.dataclass
@@ -171,12 +247,30 @@ class RRIN:
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
     packed: Optional[bool] = None  # None: follow use_pallas
+    quant_stats: Optional[Dict[str, Any]] = None  # set via quantize()
 
     @classmethod
     def init(cls, key: Optional[jax.Array] = None, cfg: ModelConfig = ModelConfig(), **kw) -> "RRIN":
         if key is None:
             key = jax.random.key(0)
         return cls(params=init_params(key, cfg), cfg=cfg, **kw)
+
+    def quantize(
+        self,
+        i0: jnp.ndarray,
+        i1: jnp.ndarray,
+        t: Union[float, jnp.ndarray] = 0.5,
+        margin: float = 1.2,
+    ) -> "RRIN":
+        """Calibrate int8 activation ranges on a representative pair and
+        return a copy whose calls run the packed int8 path."""
+        _, stats = forward_calibrate(
+            self.params, i0, i1, t, cfg=self.cfg,
+            compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
+        )
+        return dataclasses.replace(
+            self, packed=True, quant_stats=scale_quant_stats(stats, margin)
+        )
 
     def __call__(self, i0: jnp.ndarray, i1: jnp.ndarray, t: Union[float, jnp.ndarray] = 0.5) -> jnp.ndarray:
         return forward(
@@ -188,6 +282,7 @@ class RRIN:
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
             packed=self.use_pallas if self.packed is None else self.packed,
+            quant_stats=self.quant_stats,
         )
 
     # Alias matching the reference method name.

@@ -23,7 +23,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -143,6 +143,66 @@ def unet_apply(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     return _conv(x, p["conv3"])
 
 
+# Conv input(s) per site in the int8 packed path: which producer tensor's
+# calibrated |x| max quantizes each conv operand ("in" = the U-Net input).
+# Heads stay bf16 (flows/weights/residues need the precision; lout is tiny).
+QUANT_SITES = {
+    "c1": ("in",), "c2": ("c1",),
+    "d1c1": ("c2",), "d1c2": ("d1c1",),
+    "d2c1": ("d1c2",), "d2c2": ("d2c1",),
+    "d3c1": ("d2c2",), "d3c2": ("d3c1",),
+    "d4c1": ("d3c2",), "d4c2": ("d4c1",),
+    "u1c1": ("d4c2",), "u1c2": ("u1c1", "d3c2"),
+    "u2c1": ("u1c2",), "u2c2": ("u2c1", "d2c2"),
+    "u3c1": ("u2c2",), "u3c2": ("u3c1", "d1c2"),
+    "u4c1": ("u3c2",), "u4c2": ("u4c1", "c2"),
+}
+
+
+def unet_apply_stats(
+    p: Params, x: jnp.ndarray, cfg: ModelConfig
+) -> tuple:
+    """unet_apply + per-tensor |x| maxima for int8 calibration.
+
+    Returns (out, stats): stats maps each conv-output name (plus "in") to
+    the f32 absmax of that tensor — the calibrated quantization ranges the
+    packed int8 path consumes (pool/upsample between sites are convex
+    combinations, so a producer's absmax bounds every consumer)."""
+    s = cfg.leaky_slope
+    stats = {}
+
+    def rec(name, t):
+        stats[name] = jnp.max(jnp.abs(t)).astype(jnp.float32)
+        return t
+
+    rec("in", x)
+    t = rec("c1", _conv_act(x, p["conv1"], s))
+    s1 = rec("c2", _conv_act(t, p["conv2"], s))
+
+    def down(name, t, prm):
+        t = avg_pool_2x(t)
+        t = rec(f"{name}c1", _conv_act(t, prm["conv1"], s))
+        return rec(f"{name}c2", _conv_act(t, prm["conv2"], s))
+
+    def up(name, t, skip, prm):
+        t = upsample_2x_bilinear(t)
+        t = rec(f"{name}c1", _conv_act(t, prm["conv1"], s))
+        return rec(
+            f"{name}c2",
+            _conv_act(jnp.concatenate([t, skip], axis=-1), prm["conv2"], s),
+        )
+
+    s2 = down("d1", s1, p["down1"])
+    s3 = down("d2", s2, p["down2"])
+    s4 = down("d3", s3, p["down3"])
+    t = down("d4", s4, p["down4"])
+    t = up("u1", t, s4, p["up1"])
+    t = up("u2", t, s3, p["up2"])
+    t = up("u3", t, s2, p["up3"])
+    t = up("u4", t, s1, p["up4"])
+    return _conv(t, p["conv3"]), stats
+
+
 # ---------------------------------------------------------------------------
 # Packed-layout fast path (inference).
 #
@@ -192,12 +252,23 @@ def _packed_m0(w: int) -> int:
     return -(-(w + 6) // 4 // 8) * 8
 
 
-def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+def unet_apply_packed(
+    p: Params,
+    x: jnp.ndarray,
+    cfg: ModelConfig,
+    absmax: Optional[Dict[str, jnp.ndarray]] = None,
+) -> jnp.ndarray:
     """unet_apply in the carried packed layout (inference fast path).
 
     Numerically equivalent to :func:`unet_apply` up to conv accumulation
     order (tests/test_unet_packed.py). Inference-only: the packed conv has
     no VJP — training uses the plain path.
+
+    ``absmax``: optional calibration stats from :func:`unet_apply_stats`
+    (producer-tensor name -> |x| max). When given, every conv that runs a
+    packed kernel quantizes its operands to symmetric int8 per
+    ``QUANT_SITES`` and contracts int8 x int8 -> int32 on the MXU; the
+    head conv and any plain-XLA fallback level stay in ``x.dtype``.
     """
     from rrin_tpu.ops.conv_packed import (
         conv_packed,
@@ -224,32 +295,46 @@ def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
     l3_kernel = (h // 8) % 8 == 0 and h // 8 >= min_h(3)
     m3 = -(-(w // 8) // 8) * 8
 
-    def conv(parts, prm, off_out, slope=s):
-        return conv_packed(parts, prm["w"], prm["b"], off_out, slope)
+    def amax_for(site):
+        if absmax is None:
+            return None
+        return tuple(absmax[n] for n in QUANT_SITES[site])
 
-    def conv_up(t, ts, real_c, prm, off_out):
+    def conv(parts, prm, off_out, slope=s, site=None):
+        am = amax_for(site) if site is not None else None
+        return conv_packed(parts, prm["w"], prm["b"], off_out, slope,
+                           in_absmax=am)
+
+    def conv_up(t, ts, real_c, prm, off_out, site):
         """2x upsample + conv1 of an up stage: fused kernel when the site
         qualifies (never materializes the doubled tensor — see
         ops/conv_packed.py), else packed upsample + packed conv."""
+        am = amax_for(site)
         if supports_up(ts, prm["w"].shape[0], prm["w"].shape[3],
                        2 * t.shape[1]) and ts.c == real_c:
             return conv_up_packed(t, ts, real_c, prm["w"], prm["b"],
-                                  off_out, s)
+                                  off_out, s,
+                                  in_absmax=None if am is None else am[0])
         tu, tus = upsample_2x_packed(t, ts)
-        return conv([(tu, tus, real_c)], prm, off_out)
+        return conv_packed([(tu, tus, real_c)], prm["w"], prm["b"],
+                           off_out, s, in_absmax=am)
 
     # Stem + down1: P=4 then P=2, packed end-to-end.
     xp, sp = pack(x, 4, _PK["entry"], m0, c_pad=32)
-    xp, sp = conv([(xp, sp, cin)], p["conv1"], _PK["c1"])
-    s1, s1s = conv([(xp, sp, 32)], p["conv2"], _PK["c2"])
+    xp, sp = conv([(xp, sp, cin)], p["conv1"], _PK["c1"], site="c1")
+    s1, s1s = conv([(xp, sp, 32)], p["conv2"], _PK["c2"], site="c2")
     t, ts = avg_pool_2x_packed(s1, s1s)
-    t, ts = conv([(t, ts, 32)], p["down1"]["conv1"], _PK["d1c1"])
-    s2, s2s = conv([(t, ts, 64)], p["down1"]["conv2"], _PK["d1c2"])
+    t, ts = conv([(t, ts, 32)], p["down1"]["conv1"], _PK["d1c1"],
+                 site="d1c1")
+    s2, s2s = conv([(t, ts, 64)], p["down1"]["conv2"], _PK["d1c2"],
+                   site="d1c2")
     t, ts = avg_pool_2x_packed(s2, s2s)  # level 2, P=1, off 0
 
     if l2_kernel:
-        t, ts = conv([(t, ts, 64)], p["down2"]["conv1"], _PK["d2c1"])
-        s3, s3s = conv([(t, ts, 128)], p["down2"]["conv2"], _PK["d2c2"])
+        t, ts = conv([(t, ts, 64)], p["down2"]["conv1"], _PK["d2c1"],
+                     site="d2c1")
+        s3, s3s = conv([(t, ts, 128)], p["down2"]["conv2"], _PK["d2c2"],
+                       site="d2c2")
         s3n = unpack(s3, s3s)
     else:
         xn = unpack(t, ts)
@@ -261,8 +346,10 @@ def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
     if l3_kernel:
         x3 = avg_pool_2x(s3n)
         t3, t3s = pack(x3, 1, 0, m3)
-        t3, t3s = conv([(t3, t3s, 128)], p["down3"]["conv1"], 0)
-        s4p, s4s = conv([(t3, t3s, 256)], p["down3"]["conv2"], 0)
+        t3, t3s = conv([(t3, t3s, 128)], p["down3"]["conv1"], 0,
+                       site="d3c1")
+        s4p, s4s = conv([(t3, t3s, 256)], p["down3"]["conv2"], 0,
+                        site="d3c2")
         s4n = unpack(s4p, s4s)
         # Level 4 (C=512, H/16): P=1 packed kernel with H padded to a
         # multiple of 8 (SAME zero-pad semantics make the pad exact) —
@@ -279,23 +366,27 @@ def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
             if hp4 > h4:
                 x4 = jnp.pad(x4, ((0, 0), (0, hp4 - h4), (0, 0), (0, 0)))
             t4, t4s = pack(x4, 1, 0, m4)
-            t4, t4s = conv([(t4, t4s, w4c)], p["down4"]["conv1"], 0)
+            t4, t4s = conv([(t4, t4s, w4c)], p["down4"]["conv1"], 0,
+                           site="d4c1")
             if hp4 > h4:
                 # conv1's bias+LReLU left nonzeros in the H-pad rows;
                 # re-zero so conv2's bottom edge sees SAME zero padding.
                 t4 = jnp.concatenate(
                     [t4[:, :h4], jnp.zeros_like(t4[:, h4:])], axis=1
                 )
-            t4, t4s = conv([(t4, t4s, w5c)], p["down4"]["conv2"], 0)
+            t4, t4s = conv([(t4, t4s, w5c)], p["down4"]["conv2"], 0,
+                           site="d4c2")
             xn = unpack(t4, t4s)[:, :h4]
         else:
             xn = _conv_act(x4, p["down4"]["conv1"], s)
             xn = _conv_act(xn, p["down4"]["conv2"], s)
         xu3 = upsample_2x_bilinear(xn)
         t3, t3s = pack(xu3, 1, 0, m3)
-        t3, t3s = conv([(t3, t3s, 512)], p["up1"]["conv1"], 0)
+        t3, t3s = conv([(t3, t3s, 512)], p["up1"]["conv1"], 0,
+                       site="u1c1")
         t3, t3s = conv(
-            [(t3, t3s, 256), (s4p, s4s, 256)], p["up1"]["conv2"], 0
+            [(t3, t3s, 256), (s4p, s4s, 256)], p["up1"]["conv2"], 0,
+            site="u1c2",
         )
         xn = unpack(t3, t3s)
     else:
@@ -307,9 +398,11 @@ def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
     xu = upsample_2x_bilinear(xn)
     if l2_kernel:
         t, ts = pack(xu, 1, _PK["l2"], m0)
-        t, ts = conv([(t, ts, 256)], p["up2"]["conv1"], _PK["u2c1"])
+        t, ts = conv([(t, ts, 256)], p["up2"]["conv1"], _PK["u2c1"],
+                     site="u2c1")
         t, ts = conv(
-            [(t, ts, 128), (s3, s3s, 128)], p["up2"]["conv2"], _PK["u2c2"]
+            [(t, ts, 128), (s3, s3s, 128)], p["up2"]["conv2"],
+            _PK["u2c2"], site="u2c2",
         )
     else:
         xn = _conv_act(xu, p["up2"]["conv1"], s)
@@ -319,15 +412,17 @@ def unet_apply_packed(p: Params, x: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarra
         t, ts = pack(xn, 1, _PK["l2"], m0)
 
     # up3 (level 1, P=2): fused upsample+conv, M constant.
-    t, ts = conv_up(t, ts, 128, p["up3"]["conv1"], _PK["u3c1"])
+    t, ts = conv_up(t, ts, 128, p["up3"]["conv1"], _PK["u3c1"], "u3c1")
     t, ts = conv(
-        [(t, ts, 64), (s2, s2s, 64)], p["up3"]["conv2"], _PK["u3c2"]
+        [(t, ts, 64), (s2, s2s, 64)], p["up3"]["conv2"], _PK["u3c2"],
+        site="u3c2",
     )
 
     # up4 (level 0, P=4).
-    t, ts = conv_up(t, ts, 64, p["up4"]["conv1"], _PK["u4c1"])
+    t, ts = conv_up(t, ts, 64, p["up4"]["conv1"], _PK["u4c1"], "u4c1")
     t, ts = conv(
-        [(t, ts, 32), (s1, s1s, 32)], p["up4"]["conv2"], _PK["u4c2"]
+        [(t, ts, 32), (s1, s1s, 32)], p["up4"]["conv2"], _PK["u4c2"],
+        site="u4c2",
     )
 
     t, ts = conv([(t, ts, 32)], p["conv3"], _PK["head"], slope=None)

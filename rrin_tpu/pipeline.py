@@ -34,7 +34,7 @@ import numpy as np
 
 from rrin_tpu import native
 from rrin_tpu.config import ModelConfig
-from rrin_tpu.models.rrin import forward
+from rrin_tpu.models.rrin import forward, forward_calibrate, scale_quant_stats
 from rrin_tpu.ops.pad import padded_size
 
 
@@ -59,11 +59,14 @@ def device_step(
     use_pallas: bool = False,
     pad_hw: Any = None,
     packed: Optional[bool] = None,
+    quant_stats: Optional[Dict[str, Any]] = None,
 ) -> jnp.ndarray:
     """One fused device step: (B, 2, H, W, 3) uint8 -> (B, 2^exp - 1, H, W, 3) uint8.
 
     All math between the two uint8 boundaries is on-device and fused by XLA.
     ``pad_hw`` is the static (pad_h, pad_w) bottom/right padding to /16.
+    ``quant_stats`` (from :func:`device_calibrate`) switches the packed
+    convs to int8 — requires the packed path.
     """
     b, _, h, w, _ = pairs_u8.shape
     ph, pw = pad_hw if pad_hw is not None else (
@@ -82,6 +85,7 @@ def device_step(
         forward, params, cfg=cfg, compute_dtype=compute_dtype,
         use_pallas=use_pallas,
         packed=use_pallas if packed is None else packed,
+        quant_stats=quant_stats,
     )
 
     if mode == "direct" or exp == 1:
@@ -118,6 +122,39 @@ def device_step(
     if ph or pw:
         mids = mids[:, :, :h, :w, :]
     return jnp.round(jnp.clip(mids, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "use_pallas", "pad_hw"),
+)
+def device_calibrate(
+    params: Dict[str, Any],
+    pairs_u8: jnp.ndarray,
+    cfg: ModelConfig = ModelConfig(),
+    compute_dtype: Any = jnp.bfloat16,
+    use_pallas: bool = False,
+    pad_hw: Any = None,
+) -> Dict[str, Any]:
+    """int8 calibration pass: (B, 2, H, W, 3) uint8 -> activation stats.
+
+    Same preprocessing as :func:`device_step`, then the plain cascade at
+    t=0.5 (where the flow-projection magnitudes peak) recording per-UNet
+    activation |x| maxima. XLA dead-code-eliminates everything the stats
+    don't need."""
+    b, _, h, w, _ = pairs_u8.shape
+    ph, pw = pad_hw if pad_hw is not None else (
+        padded_size(h, cfg.pad_multiple) - h,
+        padded_size(w, cfg.pad_multiple) - w,
+    )
+    x = pairs_u8.astype(jnp.float32) * (1.0 / 255.0)
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    _, stats = forward_calibrate(
+        params, x[:, 0], x[:, 1], 0.5, cfg=cfg,
+        compute_dtype=compute_dtype, use_pallas=use_pallas,
+    )
+    return stats
 
 
 @dataclass
@@ -175,6 +212,8 @@ class Interpolator:
         data_parallel: int = 1,
         packed: Optional[bool] = None,
         spatial: int = 1,
+        int8: bool = False,
+        int8_margin: float = 1.2,
     ):
         if mode not in ("direct", "cascade"):
             raise ValueError(f"unknown mode: {mode!r}")
@@ -182,6 +221,15 @@ class Interpolator:
             raise ValueError("exp must be >= 1")
         if spatial < 1:
             raise ValueError("spatial must be >= 1")
+        if int8 and (data_parallel != 1 or spatial > 1):
+            # Sharded runs use the SPMD XLA path (no Mosaic kernels), where
+            # int8 would only add fake-quant noise with no MXU speedup.
+            raise ValueError("int8 requires the single-device packed path")
+        if int8:
+            packed = True
+        self.int8 = int8
+        self.int8_margin = int8_margin
+        self._quant_stats: Optional[Dict[str, Any]] = None
         self.params = params
         self.cfg = cfg
         self.exp = exp
@@ -222,12 +270,32 @@ class Interpolator:
         return int(self.mesh.shape[DATA_AXIS])
 
     def step(self, pairs_u8: np.ndarray) -> jax.Array:
-        """Dispatch one device step; returns the (async) device result."""
+        """Dispatch one device step; returns the (async) device result.
+
+        In int8 mode the FIRST batch also runs a calibration pass
+        (device_calibrate) whose activation ranges, scaled by
+        ``int8_margin``, quantize every subsequent frame."""
         b, _, h, w, _ = pairs_u8.shape
         pad_hw = (
             padded_size(h, self.cfg.pad_multiple) - h,
             padded_size(w, self.cfg.pad_multiple) - w,
         )
+        if self.int8 and self._quant_stats is None:
+            from rrin_tpu.models.unet import packed_supported
+
+            if not packed_supported(h + pad_hw[0], w + pad_hw[1], self.cfg):
+                raise ValueError(
+                    f"int8 mode needs the packed fast path, which does not "
+                    f"support {h}x{w} with this config"
+                )
+            self._quant_stats = scale_quant_stats(
+                device_calibrate(
+                    self.params, jnp.asarray(pairs_u8), cfg=self.cfg,
+                    compute_dtype=self.compute_dtype,
+                    use_pallas=self.use_pallas, pad_hw=pad_hw,
+                ),
+                self.int8_margin,
+            )
         if self.mesh is not None:
             from rrin_tpu.parallel.sharding import shard_pairs
 
@@ -248,6 +316,7 @@ class Interpolator:
             use_pallas=self.use_pallas,
             pad_hw=pad_hw,
             packed=self.packed,
+            quant_stats=self._quant_stats,
         )
 
 
@@ -271,6 +340,8 @@ def interpolate_video(
     write_trailing_frame: bool = True,
     data_parallel: int = 1,
     spatial: int = 1,
+    int8: bool = False,
+    int8_margin: float = 1.2,
 ) -> PipelineReport:
     """2^exp-upsample ``input_path``'s frame rate into ``output_path``.
 
@@ -288,6 +359,7 @@ def interpolate_video(
     interp = Interpolator(
         params, cfg, exp=exp, mode=mode, compute_dtype=compute_dtype,
         use_pallas=use_pallas, data_parallel=data_parallel, spatial=spatial,
+        int8=int8, int8_margin=int8_margin,
     )
     m = interp.mids_per_pair
     # Sharded batches must divide evenly over the data mesh axis.

@@ -59,6 +59,8 @@ def interpolate_video_resumable(
     progress: bool = False,
     data_parallel: int = 1,
     spatial: int = 1,
+    int8: bool = False,
+    int8_margin: float = 1.2,
 ) -> Dict[str, Any]:
     """Run (or resume) a segmented interpolation job; returns the manifest."""
     from rrin_tpu.io.video import probe_video
@@ -126,6 +128,8 @@ def interpolate_video_resumable(
                 write_trailing_frame=last,
                 data_parallel=data_parallel,
                 spatial=spatial,
+                int8=int8,
+                int8_margin=int8_margin,
             )
             seg["done"] = True
             seg["frames"] = report.frames_out

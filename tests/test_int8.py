@@ -1,0 +1,140 @@
+"""int8 inference mode at the U-Net / cascade / pipeline level
+(docs/PERFORMANCE.md lever 4; VERDICT r1 item 8).
+
+On CPU the packed convs route to the XLA fake-quant fallback, which
+quantizes through the SAME symmetric int8 grid as the Mosaic kernel
+(kernel-vs-fallback parity is gated per-site in tests/test_conv_int8.py
+and on real TPU by bench.py --selfcheck), so these tests gate the exact
+int8 math of the full calibrate -> quantize -> infer flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrin_tpu.config import ModelConfig
+from rrin_tpu.models.rrin import (
+    forward,
+    forward_calibrate,
+    init_params,
+    merge_quant_stats,
+    scale_quant_stats,
+)
+from rrin_tpu.models.unet import (
+    QUANT_SITES,
+    unet_apply,
+    unet_apply_packed,
+    unet_apply_stats,
+    unet_init,
+)
+
+CFG = ModelConfig()
+
+
+def _psnr(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return np.inf
+    peak = float(np.abs(b).max()) or 1.0
+    return 10 * np.log10(peak * peak / mse)
+
+
+class TestUnetStats:
+    def test_stats_cover_all_quant_sites(self, rng):
+        p = unet_init(jax.random.key(0), 6, 4, CFG)
+        x = jnp.asarray(rng.random((1, 48, 64, 6), dtype=np.float32))
+        out, stats = unet_apply_stats(p, x, CFG)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(unet_apply(p, x, CFG)),
+            atol=1e-6, rtol=1e-6,
+        )
+        needed = {n for ins in QUANT_SITES.values() for n in ins}
+        assert needed <= set(stats), needed - set(stats)
+        # stats really are the |x| maxima: the input one is checkable
+        np.testing.assert_allclose(
+            float(stats["in"]), float(jnp.max(jnp.abs(x))), rtol=1e-6
+        )
+
+    @pytest.mark.parametrize("h", [48, 96, 192])  # plain / l2 / l3 branches
+    def test_unet_int8_quality(self, rng, h):
+        p = unet_init(jax.random.key(1), 6, 4, CFG)
+        x = jnp.asarray(rng.random((1, h, 64, 6), dtype=np.float32)) - 0.5
+        _, stats = unet_apply_stats(p, x, CFG)
+        want = np.asarray(unet_apply(p, x, CFG))
+        got = np.asarray(unet_apply_packed(p, x, CFG, absmax=stats))
+        assert _psnr(got, want) > 35.0, _psnr(got, want)
+
+
+class TestForwardInt8:
+    def test_calibrated_forward_quality(self, rng):
+        params = init_params(jax.random.key(0), CFG)
+        i0 = jnp.asarray(rng.random((1, 96, 64, 3), dtype=np.float32))
+        i1 = jnp.asarray(rng.random((1, 96, 64, 3), dtype=np.float32))
+        want = np.asarray(forward(params, i0, i1, 0.5, cfg=CFG))
+        out_c, stats = forward_calibrate(params, i0, i1, 0.5, cfg=CFG)
+        # the calibration pass IS the plain forward
+        np.testing.assert_allclose(np.asarray(out_c), want, atol=1e-5)
+        stats = scale_quant_stats(stats, 1.2)
+        got = np.asarray(
+            forward(params, i0, i1, 0.5, cfg=CFG, packed=True,
+                    quant_stats=stats)
+        )
+        assert _psnr(got, want) > 35.0, _psnr(got, want)
+
+    def test_merge_stats(self, rng):
+        params = init_params(jax.random.key(0), CFG)
+        i0 = jnp.asarray(rng.random((1, 48, 64, 3), dtype=np.float32))
+        i1 = jnp.asarray(rng.random((1, 48, 64, 3), dtype=np.float32))
+        _, s1 = forward_calibrate(params, i0, i1, 0.25, cfg=CFG)
+        _, s2 = forward_calibrate(params, i1, i0, 0.75, cfg=CFG)
+        m = merge_quant_stats(s1, s2)
+        a = float(s1["flow"]["c1"])
+        b = float(s2["flow"]["c1"])
+        assert float(m["flow"]["c1"]) == max(a, b)
+
+    def test_quant_requires_packed(self, rng):
+        params = init_params(jax.random.key(0), CFG)
+        i0 = jnp.zeros((1, 48, 64, 3), jnp.float32)
+        _, stats = forward_calibrate(params, i0, i0, 0.5, cfg=CFG)
+        with pytest.raises(ValueError, match="packed"):
+            forward(params, i0, i0, 0.5, cfg=CFG, quant_stats=stats)
+
+
+class TestPipelineInt8:
+    def test_interpolator_int8_step(self, rng):
+        from rrin_tpu.pipeline import Interpolator, device_step
+
+        params = init_params(jax.random.key(0), CFG)
+        pairs = rng.integers(0, 256, (1, 2, 48, 64, 3), dtype=np.uint8)
+        interp = Interpolator(params, CFG, compute_dtype="float32",
+                              int8=True)
+        out = np.asarray(interp.step(pairs))
+        assert interp._quant_stats is not None  # calibrated on first batch
+        want = np.asarray(device_step(
+            params, jnp.asarray(pairs), cfg=CFG,
+            compute_dtype=jnp.float32, pad_hw=(0, 0),
+        ))
+        assert out.shape == want.shape and out.dtype == np.uint8
+        assert _psnr(out / 255.0, want / 255.0) > 35.0
+        # second step reuses the stats (no recalibration)
+        stats = interp._quant_stats
+        interp.step(pairs)
+        assert interp._quant_stats is stats
+
+    def test_int8_rejects_sharding(self):
+        from rrin_tpu.pipeline import Interpolator
+
+        params = init_params(jax.random.key(0), CFG)
+        with pytest.raises(ValueError, match="int8"):
+            Interpolator(params, CFG, int8=True, data_parallel=2)
+
+    def test_int8_rejects_unsupported_shape(self, rng):
+        from rrin_tpu.pipeline import Interpolator
+
+        params = init_params(jax.random.key(0), CFG)
+        interp = Interpolator(params, CFG, int8=True)
+        pairs = rng.integers(0, 256, (1, 2, 32, 48, 3), dtype=np.uint8)
+        with pytest.raises(ValueError, match="int8"):
+            interp.step(pairs)
