@@ -269,13 +269,21 @@ def main() -> int:
                       use_pallas=not args.no_pallas)
         r["detail"]["vimeo_448x256_b8_fps_per_chip"] = v["value"]
         r["detail"]["vimeo_vs_baseline"] = v["vs_baseline"]
-        # int8 lever (docs/PERFORMANCE.md lever 4), measured + PSNR-gated.
+        # int8 lever (docs/PERFORMANCE.md lever 4), measured + PSNR-gated
+        # at both benchmark sizes.
         vi = run_bench("vimeo", max(args.iters, 10), batch=8,
                        use_pallas=not args.no_pallas, int8=True)
         r["detail"]["vimeo_448x256_b8_int8_fps_per_chip"] = vi["value"]
         r["detail"]["int8_vs_bf16_psnr_db"] = (
             vi["detail"]["int8_vs_bf16_psnr_db"]
         )
+        if not args.int8:
+            hi = run_bench(args.size, args.iters, args.batch,
+                           use_pallas=not args.no_pallas, int8=True)
+            r["detail"][f"{args.size}_int8_fps_per_chip"] = hi["value"]
+            r["detail"][f"{args.size}_int8_vs_bf16_psnr_db"] = (
+                hi["detail"]["int8_vs_bf16_psnr_db"]
+            )
         # SURVEY.md §4: kernel parity ON DEVICE, recorded as an artifact.
         r["detail"]["selfcheck"] = run_selfcheck()
 
@@ -294,6 +302,10 @@ def main() -> int:
                 "int8_vs_bf16_psnr_db": d["int8_vs_bf16_psnr_db"],
                 "selfcheck": d["selfcheck"],
             }
+            for k in (f"{args.size}_int8_fps_per_chip",
+                      f"{args.size}_int8_vs_bf16_psnr_db"):
+                if k in d:
+                    line["detail"][k] = d[k]
         print(json.dumps(line))
     return 0
 

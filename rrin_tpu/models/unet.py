@@ -295,15 +295,41 @@ def unet_apply_packed(
     l3_kernel = (h // 8) % 8 == 0 and h // 8 >= min_h(3)
     m3 = -(-(w // 8) // 8) * 8
 
+    dt = x.dtype
+
     def amax_for(site):
         if absmax is None:
             return None
         return tuple(absmax[n] for n in QUANT_SITES[site])
 
+    # int8 carry plan: a conv's output stays ON its own int8 grid (the
+    # kernel epilogue emits int8 directly — no separate quantize pass, half
+    # the HBM bytes) when every consumer reads it straight into a packed
+    # kernel: the direct conv1->conv2 chains and the fused-upsample conv
+    # inputs (whose window DMA then moves half the bytes). Sites feeding a
+    # materialized pool/upsample stay float: XLA cannot fuse the
+    # int8->f32->round pipeline through those reshape/slice chains, and the
+    # full-resolution f32 intermediates cost more than the saved quantize
+    # pass (measured on TPU: +12 ms/frame at 1080p).
+    _CARRY = {
+        "c1", "d1c1", "d2c1", "d3c1", "d4c1", "u1c1",
+        "u2c1", "u2c2", "u3c1", "u3c2", "u4c1",
+    }
+
+    def out_q(site):
+        if absmax is None or site not in _CARRY:
+            return None
+        return absmax[site]
+
+    def _rq(t):
+        """Re-round a carried-int8 tensor after a convex f32 combo."""
+        return jnp.clip(jnp.round(t), -127.0, 127.0).astype(jnp.int8)
+
     def conv(parts, prm, off_out, slope=s, site=None):
         am = amax_for(site) if site is not None else None
         return conv_packed(parts, prm["w"], prm["b"], off_out, slope,
-                           in_absmax=am)
+                           in_absmax=am, out_absmax=out_q(site),
+                           out_dtype=dt)
 
     def conv_up(t, ts, real_c, prm, off_out, site):
         """2x upsample + conv1 of an up stage: fused kernel when the site
@@ -314,21 +340,44 @@ def unet_apply_packed(
                        2 * t.shape[1]) and ts.c == real_c:
             return conv_up_packed(t, ts, real_c, prm["w"], prm["b"],
                                   off_out, s,
-                                  in_absmax=None if am is None else am[0])
-        tu, tus = upsample_2x_packed(t, ts)
+                                  in_absmax=None if am is None else am[0],
+                                  out_absmax=out_q(site), out_dtype=dt)
+        if t.dtype == jnp.int8:
+            tu, tus = upsample_2x_packed(t.astype(jnp.float32), ts)
+            tu = _rq(tu)
+        else:
+            tu, tus = upsample_2x_packed(t, ts)
         return conv_packed([(tu, tus, real_c)], prm["w"], prm["b"],
-                           off_out, s, in_absmax=am)
+                           off_out, s, in_absmax=am,
+                           out_absmax=out_q(site), out_dtype=dt)
+
+    def pool_p(t, ts):
+        """Packed 2x avg-pool, staying on a carried int8 grid if given one."""
+        if t.dtype == jnp.int8:
+            y, ys = avg_pool_2x_packed(t.astype(jnp.float32), ts)
+            return _rq(y), ys
+        return avg_pool_2x_packed(t, ts)
+
+    def pool_n(t):
+        if t.dtype == jnp.int8:
+            return _rq(avg_pool_2x(t.astype(jnp.float32)))
+        return avg_pool_2x(t)
+
+    def up_n(t):
+        if t.dtype == jnp.int8:
+            return _rq(upsample_2x_bilinear(t.astype(jnp.float32)))
+        return upsample_2x_bilinear(t)
 
     # Stem + down1: P=4 then P=2, packed end-to-end.
     xp, sp = pack(x, 4, _PK["entry"], m0, c_pad=32)
     xp, sp = conv([(xp, sp, cin)], p["conv1"], _PK["c1"], site="c1")
     s1, s1s = conv([(xp, sp, 32)], p["conv2"], _PK["c2"], site="c2")
-    t, ts = avg_pool_2x_packed(s1, s1s)
+    t, ts = pool_p(s1, s1s)
     t, ts = conv([(t, ts, 32)], p["down1"]["conv1"], _PK["d1c1"],
                  site="d1c1")
     s2, s2s = conv([(t, ts, 64)], p["down1"]["conv2"], _PK["d1c2"],
                    site="d1c2")
-    t, ts = avg_pool_2x_packed(s2, s2s)  # level 2, P=1, off 0
+    t, ts = pool_p(s2, s2s)  # level 2, P=1, off 0
 
     if l2_kernel:
         t, ts = conv([(t, ts, 64)], p["down2"]["conv1"], _PK["d2c1"],
@@ -344,7 +393,7 @@ def unet_apply_packed(
 
     # Level 3 (C=256): P=1 kernel when kernel-shaped, else plain.
     if l3_kernel:
-        x3 = avg_pool_2x(s3n)
+        x3 = pool_n(s3n)
         t3, t3s = pack(x3, 1, 0, m3)
         t3, t3s = conv([(t3, t3s, 128)], p["down3"]["conv1"], 0,
                        site="d3c1")
@@ -355,7 +404,7 @@ def unet_apply_packed(
         # multiple of 8 (SAME zero-pad semantics make the pad exact) —
         # XLA ran these convs in a T(2,128) layout with an unfused
         # bias+LeakyReLU pass worth several ms/frame at 1080p.
-        x4 = avg_pool_2x(s4n)
+        x4 = pool_n(s4n)
         h4, w4 = x4.shape[1], x4.shape[2]
         hp4 = -(-h4 // 8) * 8
         m4 = -(-w4 // 8) * 8
@@ -380,7 +429,7 @@ def unet_apply_packed(
         else:
             xn = _conv_act(x4, p["down4"]["conv1"], s)
             xn = _conv_act(xn, p["down4"]["conv2"], s)
-        xu3 = upsample_2x_bilinear(xn)
+        xu3 = up_n(xn)
         t3, t3s = pack(xu3, 1, 0, m3)
         t3, t3s = conv([(t3, t3s, 512)], p["up1"]["conv1"], 0,
                        site="u1c1")
@@ -395,7 +444,7 @@ def unet_apply_packed(
         xn = _up(xn, s4, p["up1"], s)
 
     # up2 (level 2): plain upsample, then packed convs with fused concat.
-    xu = upsample_2x_bilinear(xn)
+    xu = up_n(xn)
     if l2_kernel:
         t, ts = pack(xu, 1, _PK["l2"], m0)
         t, ts = conv([(t, ts, 256)], p["up2"]["conv1"], _PK["u2c1"],

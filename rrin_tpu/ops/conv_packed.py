@@ -87,7 +87,7 @@ def supports(spec: PackedSpec, k: int, cout: int, h: int) -> bool:
 def _kernel_body(
     *, k: int, q: int, m: int, h: int, wls, s_shifts, lins, lout: int,
     cout: int, p: int, off_out: int, w_real: int, slope: Optional[float],
-    out_dtype, quant: bool = False,
+    out_dtype, quant: bool = False, quant_out: bool = False,
 ):
     hh = (k - 1) // 2
     n_in = len(wls)
@@ -169,6 +169,10 @@ def _kernel_body(
             if slope is not None:
                 acc = jnp.where(acc >= 0, acc, slope * acc)
             acc = jnp.where(gmask, acc, 0.0)
+            if quant_out:
+                # scale/bias were pre-folded by 127/ax_out (commutes with
+                # LeakyReLU), so the epilogue only rounds to the int8 grid.
+                acc = jnp.clip(jnp.round(acc), -127.0, 127.0)
             out_ref[0, yo] = acc.astype(out_dtype)
 
     return kernel
@@ -207,7 +211,9 @@ def _quantize_weights(wis, absmax):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("specs", "real_cs", "k", "cout", "off_out", "slope"),
+    static_argnames=(
+        "specs", "real_cs", "k", "cout", "off_out", "slope", "out_dtype",
+    ),
 )
 def _conv_packed_impl(
     xs: Tuple[jnp.ndarray, ...],
@@ -220,13 +226,20 @@ def _conv_packed_impl(
     off_out: int,
     slope: Optional[float],
     absmax: Optional[Tuple[jnp.ndarray, ...]] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     b, h, m, _ = xs[0].shape
     p = specs[0].p
     hh = (k - 1) // 2
     q = q_count(k, p)
-    dtype = xs[0].dtype
     quant = absmax is not None
+    assert out_absmax is None or quant
+    assert quant or all(x.dtype != jnp.int8 for x in xs)
+    in_f = [x for x in xs if x.dtype != jnp.int8]
+    dtype = out_dtype or (in_f[0].dtype if in_f else jnp.bfloat16)
+    if out_absmax is not None:
+        dtype = jnp.int8
 
     wls, s_shifts, lins, wis = [], [], [], []
     row = 0
@@ -252,14 +265,30 @@ def _conv_packed_impl(
     if quant:
         wqs, sw = _quantize_weights(wis, absmax)
         a0 = jnp.maximum(absmax[0].astype(jnp.float32), 1e-12)
-        scale_lanes = jnp.tile(
-            a0 * sw / (127.0 * 127.0), (p,)
-        ).reshape(1, lout)
-        xs = tuple(_quantize_act(x, ax) for x, ax in zip(xs, absmax))
+        scale_ch = a0 * sw / (127.0 * 127.0)
+        bias_ch = bias.astype(jnp.float32)
+        if out_absmax is not None:
+            # Fold the output quantization step into scale+bias (it
+            # commutes with LeakyReLU); the kernel epilogue then just
+            # rounds and the output lands on the int8 grid directly.
+            inv_out = 127.0 / jnp.maximum(
+                out_absmax.astype(jnp.float32), 1e-12
+            )
+            scale_ch = scale_ch * inv_out
+            bias_ch = bias_ch * inv_out
+        scale_lanes = jnp.tile(scale_ch, (p,)).reshape(1, lout)
+        bias_lanes = jnp.tile(bias_ch, (p,)).reshape(1, lout)
+        # Operands already on the int8 grid (carried from a quant-out
+        # producer) skip the quantize pass.
+        xs = tuple(
+            x if x.dtype == jnp.int8 else _quantize_act(x, ax)
+            for x, ax in zip(xs, absmax)
+        )
         win_dt = jnp.int8
     else:
         wqs = [wi.astype(dtype) for wi in wis]
         scale_lanes = None
+        bias_lanes = jnp.tile(bias.astype(jnp.float32), (p,)).reshape(1, lout)
         win_dt = dtype
 
     b2s = []
@@ -269,12 +298,11 @@ def _conv_packed_impl(
             b2 = jnp.pad(b2, ((0, 0), (0, lin - p * spec.c), (0, 0)))
         b2s.append(b2)
 
-    bias_lanes = jnp.tile(bias.astype(jnp.float32), (p,)).reshape(1, lout)
-
     kernel = _kernel_body(
         k=k, q=q, m=m, h=h, wls=tuple(wls), s_shifts=tuple(s_shifts),
         lins=tuple(lins), lout=lout, cout=cout, p=p, off_out=off_out,
         w_real=specs[0].w, slope=slope, out_dtype=dtype, quant=quant,
+        quant_out=out_absmax is not None,
     )
     n_in = len(xs)
     scratch = [
@@ -362,7 +390,7 @@ def _kernel_body_up(
     *, k: int, q: int, m: int, h_src: int, wl: int, s_shift: int,
     lin_half: int, lin_up: int, lout: int, cout: int, p_in: int,
     off_in: int, w_half: int, off_out: int, slope: Optional[float],
-    out_dtype, quant: bool = False,
+    out_dtype, quant: bool = False, quant_out: bool = False,
 ):
     hh = (k - 1) // 2
     h_out = 2 * h_src
@@ -484,6 +512,8 @@ def _kernel_body_up(
             if slope is not None:
                 acc = jnp.where(acc >= 0, acc, slope * acc)
             acc = jnp.where(gmask, acc, 0.0)
+            if quant_out:
+                acc = jnp.clip(jnp.round(acc), -127.0, 127.0)
             out_ref[0, yo] = acc.astype(out_dtype)
 
     return kernel
@@ -491,7 +521,7 @@ def _kernel_body_up(
 
 @functools.partial(
     jax.jit, static_argnames=("spec", "real_c", "k", "cout", "off_out",
-                              "slope"),
+                              "slope", "out_dtype"),
 )
 def _conv_up_packed_impl(
     x: jnp.ndarray,
@@ -504,15 +534,21 @@ def _conv_up_packed_impl(
     off_out: int,
     slope: Optional[float],
     absmax: Optional[jnp.ndarray] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     b, h_src, m, lin_half = x.shape
     p_in = spec.p
     p_out = 2 * p_in
     hh = (k - 1) // 2
     q = q_count(k, p_out)
-    dtype = x.dtype
-    h_out = 2 * h_src
     quant = absmax is not None
+    assert out_absmax is None or quant
+    assert quant or x.dtype != jnp.int8
+    dtype = out_dtype or (jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype)
+    if out_absmax is not None:
+        dtype = jnp.int8
+    h_out = 2 * h_src
 
     assert x.shape == (b, h_src, m, _round_up(p_in * spec.c, LANES)), (
         x.shape, spec)
@@ -526,18 +562,28 @@ def _conv_up_packed_impl(
     if real_c < spec.c:
         wi = jnp.pad(wi, ((0, 0), (0, 0), (0, spec.c - real_c), (0, 0)))
     lout = p_out * cout
+    bias_ch = bias.astype(jnp.float32)
     if quant:
         # The upsample is a convex combination, so |up(x)| <= |x| and the
         # input's absmax calibrates the constructed rows too. Rows are
         # quantized in-register (the 127/ax step rides the correction
-        # mask); B2 is per-output-channel int8.
+        # mask — already-int8 input is already on that grid, so the fold
+        # factor is 1); B2 is per-output-channel int8.
         (wq,), sw = _quantize_weights([wi], (absmax,))
         b2 = _build_b2(wq, p_out)
         ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
-        scale_lanes = jnp.tile(
-            ax * sw / (127.0 * 127.0), (p_out,)
-        ).reshape(1, lout)
-        inva = (127.0 / ax).reshape(1, 1)
+        scale_ch = ax * sw / (127.0 * 127.0)
+        if out_absmax is not None:
+            inv_out = 127.0 / jnp.maximum(
+                out_absmax.astype(jnp.float32), 1e-12
+            )
+            scale_ch = scale_ch * inv_out
+            bias_ch = bias_ch * inv_out
+        scale_lanes = jnp.tile(scale_ch, (p_out,)).reshape(1, lout)
+        if x.dtype == jnp.int8:
+            inva = jnp.ones((1, 1), jnp.float32)
+        else:
+            inva = (127.0 / ax).reshape(1, 1)
         win_dt = jnp.int8
     else:
         b2 = _build_b2(wi.astype(dtype), p_out)
@@ -546,14 +592,14 @@ def _conv_up_packed_impl(
     if p_out * spec.c < lin_up:
         b2 = jnp.pad(b2, ((0, 0), (0, lin_up - p_out * spec.c), (0, 0)))
     wl = _round_up(max(0, -s), 8)
-    bias_lanes = jnp.tile(bias.astype(jnp.float32), (p_out,)).reshape(1, lout)
+    bias_lanes = jnp.tile(bias_ch, (p_out,)).reshape(1, lout)
 
     mw = wl + m + max(0, s + q - 1)
     kernel = _kernel_body_up(
         k=k, q=q, m=m, h_src=h_src, wl=wl, s_shift=s, lin_half=lin_half,
         lin_up=lin_up, lout=lout, cout=cout, p_in=p_in, off_in=spec.off,
         w_half=spec.w, off_out=off_out, slope=slope, out_dtype=dtype,
-        quant=quant,
+        quant=quant, quant_out=out_absmax is not None,
     )
     operands = [x, b2, bias_lanes]
     n_vmem = 2
@@ -573,7 +619,7 @@ def _conv_up_packed_impl(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((WIN_SRC, mw, lin_half), dtype),
+            pltpu.VMEM((WIN_SRC, mw, lin_half), x.dtype),
             pltpu.VMEM((RB + 2 * hh, mw, lin_up), win_dt),
             pltpu.VMEM((mw, lin_up), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -590,30 +636,44 @@ def _conv_up_packed_xla(
     off_out: int,
     slope: Optional[float],
     absmax: Optional[jnp.ndarray] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Reference/fallback: packed upsample -> unpack -> XLA conv -> repack.
-    With ``absmax``, fake-quantizes through the kernel's int8 grid."""
+    With ``absmax``, fake-quantizes through the kernel's int8 grid. An
+    int8 input dequantizes first — exactly the kernel's math, since the
+    upsample is linear: round(up(q)) == quantize(up(q * ax/127))."""
     from rrin_tpu.ops.packed import upsample_2x_packed
 
     if absmax is None:
         xu, su = upsample_2x_packed(x[..., : spec.lanes], spec)
         xn = unpack(xu, su, c=real_c)
         y = _conv_xla(xn, w.astype(xn.dtype), bias, slope)
+        if out_dtype is not None:
+            y = y.astype(out_dtype)
         yp, _ = pack(y, su.p, off_out, su.m)
         return yp
 
-    xu, su = upsample_2x_packed(
-        x[..., : spec.lanes].astype(jnp.float32), spec
-    )
+    ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
+    xf = x[..., : spec.lanes].astype(jnp.float32)
+    if x.dtype == jnp.int8:
+        xf = xf * (ax / 127.0)
+    xu, su = upsample_2x_packed(xf, spec)
     xn = unpack(xu, su, c=real_c)
     wi = w
     if real_c < spec.c:
         wi = jnp.pad(wi, ((0, 0), (0, 0), (0, spec.c - real_c), (0, 0)))
     (wq,), sw = _quantize_weights([wi], (absmax,))
-    ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
     xdq = _quantize_act(xn, ax).astype(jnp.float32) * (ax / 127.0)
     wd = wq.astype(jnp.float32) * (sw / 127.0)
-    y = _conv_xla(xdq, wd[:, :, :real_c, :], bias, slope).astype(x.dtype)
+    y = _conv_xla(xdq, wd[:, :, :real_c, :], bias, slope)
+    if out_absmax is not None:
+        y = _quantize_act(y, out_absmax)
+    else:
+        y = y.astype(
+            out_dtype
+            or (jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype)
+        )
     yp, _ = pack(y, su.p, off_out, su.m)
     return yp
 
@@ -627,6 +687,8 @@ def conv_up_packed(
     off_out: int,
     slope: Optional[float] = None,
     in_absmax: Optional[jnp.ndarray] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
 ) -> Tuple[jnp.ndarray, PackedSpec]:
     """Fused 2x-bilinear-upsample + conv2d(stride 1, SAME) + bias + LReLU.
 
@@ -639,19 +701,23 @@ def conv_up_packed(
 
     ``in_absmax``: optional calibrated |x| max (traced f32 scalar) — the
     int8 path: constructed rows quantize in-register and the contraction
-    runs int8 x int8 -> int32 on the MXU.
+    runs int8 x int8 -> int32 on the MXU. An int8-dtyped ``x`` is taken as
+    already on the 127/in_absmax grid (half the window DMA bytes).
+    ``out_absmax``/``out_dtype``: as in :func:`conv_packed`.
     """
     k = w.shape[0]
     cout = w.shape[3]
     assert real_c == w.shape[2], (real_c, w.shape)
+    assert out_absmax is None or in_absmax is not None
     xp = pad_lanes(x, _round_up(spec.p * spec.c, LANES))
     out_spec = PackedSpec(
         p=2 * spec.p, c=cout, w=2 * spec.w, off=off_out, m=spec.m
     )
     if _FORCE_KERNEL:  # interpret-mode tests on CPU
         y = _conv_up_packed_impl(
-            xp, w.astype(xp.dtype), bias, spec, real_c, k, cout, off_out,
-            slope, in_absmax,
+            xp, w if in_absmax is not None else w.astype(xp.dtype), bias,
+            spec, real_c, k, cout, off_out, slope, in_absmax, out_absmax,
+            out_dtype,
         )
         return y, out_spec
     if in_absmax is None:
@@ -659,21 +725,23 @@ def conv_up_packed(
             xp, w, bias,
             tpu=lambda a, ww, bb: _conv_up_packed_impl(
                 a, ww.astype(a.dtype), bb, spec, real_c, k, cout, off_out,
-                slope,
+                slope, out_dtype=out_dtype,
             ),
             default=lambda a, ww, bb: _conv_up_packed_xla(
-                a, ww, bb, spec, real_c, off_out, slope
+                a, ww, bb, spec, real_c, off_out, slope, out_dtype=out_dtype
             ),
         )
     else:
+        oam = (out_absmax,) if out_absmax is not None else ()
         y = jax.lax.platform_dependent(
-            xp, w, bias, in_absmax,
-            tpu=lambda a, ww, bb, am: _conv_up_packed_impl(
-                a, ww.astype(a.dtype), bb, spec, real_c, k, cout, off_out,
-                slope, am,
+            xp, w, bias, in_absmax, *oam,
+            tpu=lambda a, ww, bb, am, *oa: _conv_up_packed_impl(
+                a, ww, bb, spec, real_c, k, cout, off_out,
+                slope, am, oa[0] if oa else None, out_dtype,
             ),
-            default=lambda a, ww, bb, am: _conv_up_packed_xla(
-                a, ww, bb, spec, real_c, off_out, slope, am
+            default=lambda a, ww, bb, am, *oa: _conv_up_packed_xla(
+                a, ww, bb, spec, real_c, off_out, slope, am,
+                oa[0] if oa else None, out_dtype,
             ),
         )
     return y, out_spec
@@ -688,18 +756,23 @@ def _conv_packed_xla(
     off_out: int,
     slope: Optional[float],
     absmax: Optional[Tuple[jnp.ndarray, ...]] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
 ) -> jnp.ndarray:
     """Reference/fallback: unpack -> concat -> XLA conv -> repack.
     Semantically identical to the kernel (including output guard zeros);
     with ``absmax`` it fake-quantizes activations and weights through the
     SAME int8 grid the Mosaic kernel uses, so CPU tests gate the exact
-    int8 math."""
+    int8 math. int8-dtyped operands are taken as already on their grid;
+    ``out_absmax`` quantizes the result to int8 like the kernel epilogue."""
     if absmax is None:
         xn = jnp.concatenate(
             [unpack(x, s, c=rc) for x, s, rc in zip(xs, specs, real_cs)],
             axis=-1,
         )
         y = _conv_xla(xn, w.astype(xn.dtype), bias, slope)
+        if out_dtype is not None:
+            y = y.astype(out_dtype)
         yp, _ = pack(y, specs[0].p, off_out, specs[0].m)
         return yp
 
@@ -715,8 +788,11 @@ def _conv_packed_xla(
     xns, wds = [], []
     for x, spec, rc, ax, wq in zip(xs, specs, real_cs, absmax, wqs):
         axc = jnp.maximum(ax.astype(jnp.float32), 1e-12)
-        xn = unpack(x, spec, c=rc).astype(jnp.float32)
-        qx = _quantize_act(xn, ax)
+        if x.dtype == jnp.int8:
+            qx = unpack(x, spec, c=rc)
+        else:
+            xn = unpack(x, spec, c=rc).astype(jnp.float32)
+            qx = _quantize_act(xn, ax)
         xns.append(qx.astype(jnp.float32) * (axc / 127.0))
         wd = wq.astype(jnp.float32) * (sw / 127.0) * (a0 / axc)
         wds.append(wd[:, :, :rc, :])
@@ -725,7 +801,12 @@ def _conv_packed_xla(
         jnp.concatenate(wds, axis=2),
         bias,
         slope,
-    ).astype(xs[0].dtype)
+    )
+    if out_absmax is not None:
+        y = _quantize_act(y, out_absmax)
+    else:
+        fdt = [x.dtype for x in xs if x.dtype != jnp.int8]
+        y = y.astype(out_dtype or (fdt[0] if fdt else jnp.bfloat16))
     yp, _ = pack(y, specs[0].p, off_out, specs[0].m)
     return yp
 
@@ -737,6 +818,8 @@ def conv_packed(
     off_out: int,
     slope: Optional[float] = None,
     in_absmax: Optional[Tuple[jnp.ndarray, ...]] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
 ) -> Tuple[jnp.ndarray, PackedSpec]:
     """Packed-in/packed-out conv2d(stride 1, SAME) + bias + LeakyReLU.
 
@@ -750,7 +833,17 @@ def conv_packed(
     ``in_absmax``: optional per-operand calibrated |x| maxima (traced f32
     scalars) — selects the int8 path: activations and weights quantize to
     a symmetric int8 grid and the contraction runs int8 x int8 -> int32 on
-    the MXU (~1.7x the bf16 rate on v5e, half the window DMA bytes).
+    the MXU (~2x the bf16 rate on v5e, half the window DMA bytes).
+    int8-dtyped operands are taken as ALREADY on the grid 127/ax_i (a
+    carried quant-out producer) and skip the quantize pass.
+
+    ``out_absmax``: emit int8 on the grid 127/out_absmax straight from the
+    kernel epilogue — the carried-int8 fast path that avoids a separate
+    full-tensor quantize (and halves the tensor's HBM bytes) when every
+    consumer quantizes by this producer's calibrated range.
+
+    ``out_dtype``: output dtype when inputs are int8 but the output is not
+    quantized (e.g. the last carried conv before an unquantized head).
     """
     k = w.shape[0]
     xs, specs, real_cs = zip(*[
@@ -760,14 +853,16 @@ def conv_packed(
     cout = w.shape[3]
     assert sum(real_cs) == w.shape[2], (real_cs, w.shape)
     assert in_absmax is None or len(in_absmax) == len(parts)
+    assert out_absmax is None or in_absmax is not None
     out_spec = PackedSpec(
         p=specs[0].p, c=cout, w=specs[0].w, off=off_out, m=specs[0].m
     )
     amax = tuple(in_absmax) if in_absmax is not None else None
     if _FORCE_KERNEL:  # interpret-mode tests on CPU
         y = _conv_packed_impl(
-            xs, w.astype(xs[0].dtype), bias, specs, real_cs, k, cout,
-            off_out, slope, amax,
+            xs, w if amax is not None else w.astype(xs[0].dtype), bias,
+            specs, real_cs, k, cout, off_out, slope, amax, out_absmax,
+            out_dtype,
         )
         return y, out_spec
     if amax is None:
@@ -775,21 +870,24 @@ def conv_packed(
             xs, w, bias,
             tpu=lambda a, ww, bb: _conv_packed_impl(
                 a, ww.astype(a[0].dtype), bb, specs, real_cs, k, cout,
-                off_out, slope,
+                off_out, slope, out_dtype=out_dtype,
             ),
             default=lambda a, ww, bb: _conv_packed_xla(
-                a, ww, bb, specs, real_cs, off_out, slope
+                a, ww, bb, specs, real_cs, off_out, slope,
+                out_dtype=out_dtype,
             ),
         )
     else:
+        oam = (out_absmax,) if out_absmax is not None else ()
         y = jax.lax.platform_dependent(
-            xs, w, bias, amax,
-            tpu=lambda a, ww, bb, am: _conv_packed_impl(
-                a, ww.astype(a[0].dtype), bb, specs, real_cs, k, cout,
-                off_out, slope, tuple(am),
+            xs, w, bias, amax, *oam,
+            tpu=lambda a, ww, bb, am, *oa: _conv_packed_impl(
+                a, ww, bb, specs, real_cs, k, cout,
+                off_out, slope, tuple(am), oa[0] if oa else None, out_dtype,
             ),
-            default=lambda a, ww, bb, am: _conv_packed_xla(
-                a, ww, bb, specs, real_cs, off_out, slope, tuple(am)
+            default=lambda a, ww, bb, am, *oa: _conv_packed_xla(
+                a, ww, bb, specs, real_cs, off_out, slope, tuple(am),
+                oa[0] if oa else None, out_dtype,
             ),
         )
     return y, out_spec

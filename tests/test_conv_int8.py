@@ -28,6 +28,18 @@ def _run_q(parts, w, b, off_out, slope, absmax):
         cpk._FORCE_KERNEL = False
 
 
+def _run_q_out(parts, w, b, off_out, slope, absmax, out_absmax,
+               out_dtype=None):
+    cpk._FORCE_KERNEL = True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            return conv_packed(parts, w, b, off_out, slope,
+                               in_absmax=absmax, out_absmax=out_absmax,
+                               out_dtype=out_dtype)
+    finally:
+        cpk._FORCE_KERNEL = False
+
+
 def _run_up_q(x, spec, real_c, w, b, off_out, slope, absmax):
     cpk._FORCE_KERNEL = True
     try:
@@ -161,3 +173,95 @@ class TestConvUpPackedInt8:
         got, _ = _run_up_q(xp, spec, 64, wgt, bias, 3, 0.1, ax)
         full = _conv_up_packed_xla(xp, wgt, bias, spec, 64, 3, 0.1)
         assert _psnr(got, full) > 32.0
+
+
+class TestCarriedInt8:
+    """Quant-out epilogue + already-int8 operands: the carried-int8 chain
+    (producer emits int8 on its own grid, consumer skips the quantize
+    pass) must match the XLA fake-quant fallback doing the same."""
+
+    def test_quant_out_matches_fallback(self, rng):
+        h, m, p, k = 32, 16, 2, 3
+        x = jnp.asarray(rng.random((1, h, 28, 32), dtype=np.float32)) - 0.5
+        xp, spec = pack(x, p=p, off=1, m=m)
+        wgt = jnp.asarray((rng.random((k, k, 32, 16), dtype=np.float32) - 0.5))
+        bias = jnp.asarray(rng.random(16, dtype=np.float32))
+        ax = (jnp.max(jnp.abs(x)),)
+        oax = jnp.float32(3.0)
+        got, _ = _run_q_out([(xp, spec, 32)], wgt, bias, 0, 0.1, ax, oax)
+        assert np.asarray(got).dtype == np.int8
+        want = _conv_packed_xla(
+            [xp], wgt, bias, (spec,), (32,), 0, 0.1, ax, oax,
+        )
+        assert np.asarray(want).dtype == np.int8
+        np.testing.assert_array_equal(
+            np.abs(np.asarray(got, np.int32) - np.asarray(want, np.int32))
+            <= 1,  # int32-exact vs f32 accumulation can shift one grid step
+            True,
+        )
+
+    def test_int8_chain_kernel_vs_fallback(self, rng):
+        """conv1 (quant-out) -> conv2 (int8-in): full carried chain."""
+        h, m, p, k = 32, 16, 2, 3
+        x = jnp.asarray(rng.random((1, h, 28, 16), dtype=np.float32)) - 0.5
+        xp, spec = pack(x, p=p, off=1, m=m)
+        w1 = jnp.asarray((rng.random((k, k, 16, 16), dtype=np.float32) - 0.5))
+        b1 = jnp.asarray(rng.random(16, dtype=np.float32) * 0.1)
+        w2 = jnp.asarray((rng.random((k, k, 16, 16), dtype=np.float32) - 0.5))
+        b2 = jnp.asarray(rng.random(16, dtype=np.float32) * 0.1)
+        ax = jnp.max(jnp.abs(x))
+        a1 = jnp.float32(4.0)  # calibrated |y1| bound
+
+        def chain(runner):
+            y1, s1 = runner([(xp, spec, 16)], w1, b1, 0, 0.1, (ax,), a1)
+            assert np.asarray(y1).dtype == np.int8
+            return runner([(y1, s1, 16)], w2, b2, 1, 0.1, (a1,), None,
+                          out_dtype=jnp.float32)
+
+        def kern(parts, w, b, off, slope, am, oam, out_dtype=None):
+            return _run_q_out(parts, w, b, off, slope, am, oam,
+                              out_dtype=out_dtype)
+
+        def fall(parts, w, b, off, slope, am, oam, out_dtype=None):
+            xs = [pad_lanes(x_, -(-s_.lanes // 128) * 128)
+                  for x_, s_, _ in parts]
+            specs = tuple(s_ for _, s_, _ in parts)
+            rcs = tuple(rc for _, _, rc in parts)
+            y = _conv_packed_xla(xs, w, b, specs, rcs, off, slope,
+                                 am, oam, out_dtype)
+            from rrin_tpu.ops.packed import PackedSpec
+            os_ = PackedSpec(p=specs[0].p, c=w.shape[3], w=specs[0].w,
+                             off=off, m=specs[0].m)
+            return y, os_
+
+        got, _ = chain(kern)
+        want, _ = chain(fall)
+        assert _psnr(got, want) > 40.0
+
+    def test_conv_up_int8_input(self, rng):
+        x = jnp.asarray(rng.random((1, 16, 28, 64), dtype=np.float32)) - 0.5
+        xp, spec = pack(x, p=2, off=0, m=16)
+        ax = jnp.max(jnp.abs(x))
+        # quantize on the grid by hand: the carried producer's output
+        xq = jnp.clip(jnp.round(xp.astype(jnp.float32) * (127.0 / ax)),
+                      -127, 127).astype(jnp.int8)
+        wgt = jnp.asarray(
+            (rng.random((3, 3, 64, 32), dtype=np.float32) - 0.5) * 0.4
+        )
+        bias = jnp.asarray(rng.random(32, dtype=np.float32) - 0.5)
+        got, _ = _run_up_q(xq, spec, 64, wgt, bias, 3, 0.1, ax)
+        want = _conv_up_packed_xla(xq, wgt, bias, spec, 64, 3, 0.1, ax)
+        assert _psnr(got, want) > 40.0
+        # and int8-out from an int8-in upsample conv
+        oax = jnp.float32(8.0)
+        cpk._FORCE_KERNEL = True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                gq, _ = conv_up_packed(xq, spec, 64, wgt, bias, 3, 0.1,
+                                       in_absmax=ax, out_absmax=oax)
+        finally:
+            cpk._FORCE_KERNEL = False
+        wq = _conv_up_packed_xla(xq, wgt, bias, spec, 64, 3, 0.1, ax, oax)
+        assert np.asarray(gq).dtype == np.int8
+        assert (np.abs(np.asarray(gq, np.int32)
+                       - np.asarray(wq, np.int32)) <= 1).all()
