@@ -129,6 +129,35 @@ def run_selfcheck() -> dict:
         _psnr_db(np.asarray(refu), np.asarray(gotu)), 1
     )
 
+    # Fused pool+conv kernel (the down-stage fast path), float and
+    # carried-int8-in/out.
+    from rrin_tpu.ops.conv_packed import (
+        _conv_pool_packed_xla,
+        conv_pool_packed,
+    )
+
+    cp = jnp.asarray(rng.random((1, 64, 440, 32), dtype=np.float32)) - 0.5
+    cpp, cpspec = pack(cp, p=4, off=3, m=112)
+    wp = jnp.asarray((rng.random((5, 5, 32, 64), dtype=np.float32) - 0.5) * 0.3)
+    bp2 = jnp.asarray((rng.random(64, dtype=np.float32) - 0.5))
+    gotpl, _ = conv_pool_packed(cpp, cpspec, 32, wp, bp2, 1, 0.1)
+    refpl = _conv_pool_packed_xla(cpp, wp, bp2, cpspec, 32, 1, 0.1)
+    report["conv_pool_psnr_db"] = round(
+        _psnr_db(np.asarray(refpl), np.asarray(gotpl)), 1
+    )
+    axp = jnp.max(jnp.abs(cp))
+    cq = jnp.clip(jnp.round(cpp.astype(jnp.float32) * (127.0 / axp)),
+                  -127, 127).astype(jnp.int8)
+    oaxp = jnp.float32(6.0)
+    gotplq, _ = conv_pool_packed(cq, cpspec, 32, wp, bp2, 1, 0.1,
+                                 in_absmax=axp, out_absmax=oaxp)
+    refplq = _conv_pool_packed_xla(cq, wp, bp2, cpspec, 32, 1, 0.1,
+                                   axp, oaxp)
+    report["conv_pool_int8_psnr_db"] = round(
+        _psnr_db(np.asarray(refplq, np.float64),
+                 np.asarray(gotplq, np.float64)), 1
+    )
+
     # int8 variants of both packed kernels vs the fake-quant XLA fallback
     # (same int8 grid; difference is int32-exact vs f32 accumulation).
     amax = (jnp.max(jnp.abs(a)), jnp.max(jnp.abs(bb)))
@@ -154,6 +183,8 @@ def run_selfcheck() -> dict:
         and report["conv_up_psnr_db"] > 60.0
         and report["conv_int8_psnr_db"] > 40.0
         and report["conv_up_int8_psnr_db"] > 40.0
+        and report["conv_pool_psnr_db"] > 60.0
+        and report["conv_pool_int8_psnr_db"] > 40.0
     )
     return report
 

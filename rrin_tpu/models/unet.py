@@ -272,8 +272,10 @@ def unet_apply_packed(
     """
     from rrin_tpu.ops.conv_packed import (
         conv_packed,
+        conv_pool_packed,
         conv_up_packed,
         min_h,
+        supports_pool,
         supports_up,
     )
     from rrin_tpu.ops.packed import (
@@ -302,19 +304,36 @@ def unet_apply_packed(
             return None
         return tuple(absmax[n] for n in QUANT_SITES[site])
 
+    # Whether the down-stage entries run the fused pool+conv kernel (the
+    # pooled tensor then never materializes; its int8 window reads the
+    # full-res carried tensor at half the bf16 bytes).
+    k_d = cfg.down_kernels
+    w1c, w2c, w3c = cfg.widths[0], cfg.widths[1], cfg.widths[2]
+    fuse_d1 = supports_pool(
+        PackedSpec(p=4, c=w1c, w=w, off=_PK["c2"], m=m0), k_d[0], w2c, h
+    )
+    fuse_d2 = supports_pool(
+        PackedSpec(p=2, c=w2c, w=w // 2, off=_PK["d1c2"], m=m0),
+        k_d[1], w3c, h // 2,
+    )
+
     # int8 carry plan: a conv's output stays ON its own int8 grid (the
     # kernel epilogue emits int8 directly — no separate quantize pass, half
     # the HBM bytes) when every consumer reads it straight into a packed
-    # kernel: the direct conv1->conv2 chains and the fused-upsample conv
-    # inputs (whose window DMA then moves half the bytes). Sites feeding a
-    # materialized pool/upsample stay float: XLA cannot fuse the
-    # int8->f32->round pipeline through those reshape/slice chains, and the
-    # full-resolution f32 intermediates cost more than the saved quantize
-    # pass (measured on TPU: +12 ms/frame at 1080p).
+    # kernel: direct conv1->conv2 chains, fused-upsample conv inputs, and
+    # fused-pool conv inputs (whose window DMA then moves half the bytes).
+    # Sites feeding a MATERIALIZED pool/upsample stay float: XLA cannot
+    # fuse the int8->f32->round pipeline through those reshape/slice
+    # chains, and the full-resolution f32 intermediates cost more than the
+    # saved quantize pass (measured on TPU: +12 ms/frame at 1080p).
     _CARRY = {
         "c1", "d1c1", "d2c1", "d3c1", "d4c1", "u1c1",
         "u2c1", "u2c2", "u3c1", "u3c2", "u4c1",
     }
+    if fuse_d1:
+        _CARRY.add("c2")
+    if fuse_d2 and l2_kernel:
+        _CARRY.add("d1c2")
 
     def out_q(site):
         if absmax is None or site not in _CARRY:
@@ -351,6 +370,13 @@ def unet_apply_packed(
                            off_out, s, in_absmax=am,
                            out_absmax=out_q(site), out_dtype=dt)
 
+    def conv_pool(t, ts, real_c, prm, off_out, site):
+        """2x avg-pool + conv1 of a down stage, fused in-kernel."""
+        am = amax_for(site)
+        return conv_pool_packed(t, ts, real_c, prm["w"], prm["b"], off_out,
+                                s, in_absmax=None if am is None else am[0],
+                                out_absmax=out_q(site), out_dtype=dt)
+
     def pool_p(t, ts):
         """Packed 2x avg-pool, staying on a carried int8 grid if given one."""
         if t.dtype == jnp.int8:
@@ -372,20 +398,29 @@ def unet_apply_packed(
     xp, sp = pack(x, 4, _PK["entry"], m0, c_pad=32)
     xp, sp = conv([(xp, sp, cin)], p["conv1"], _PK["c1"], site="c1")
     s1, s1s = conv([(xp, sp, 32)], p["conv2"], _PK["c2"], site="c2")
-    t, ts = pool_p(s1, s1s)
-    t, ts = conv([(t, ts, 32)], p["down1"]["conv1"], _PK["d1c1"],
-                 site="d1c1")
+    if fuse_d1:
+        t, ts = conv_pool(s1, s1s, 32, p["down1"]["conv1"], _PK["d1c1"],
+                          "d1c1")
+    else:
+        t, ts = pool_p(s1, s1s)
+        t, ts = conv([(t, ts, 32)], p["down1"]["conv1"], _PK["d1c1"],
+                     site="d1c1")
     s2, s2s = conv([(t, ts, 64)], p["down1"]["conv2"], _PK["d1c2"],
                    site="d1c2")
-    t, ts = pool_p(s2, s2s)  # level 2, P=1, off 0
 
     if l2_kernel:
-        t, ts = conv([(t, ts, 64)], p["down2"]["conv1"], _PK["d2c1"],
-                     site="d2c1")
+        if fuse_d2:
+            t, ts = conv_pool(s2, s2s, 64, p["down2"]["conv1"],
+                              _PK["d2c1"], "d2c1")
+        else:
+            t, ts = pool_p(s2, s2s)
+            t, ts = conv([(t, ts, 64)], p["down2"]["conv1"], _PK["d2c1"],
+                         site="d2c1")
         s3, s3s = conv([(t, ts, 128)], p["down2"]["conv2"], _PK["d2c2"],
                        site="d2c2")
         s3n = unpack(s3, s3s)
     else:
+        t, ts = pool_p(s2, s2s)  # level 2, P=1, off 0
         xn = unpack(t, ts)
         xn = _conv_act(xn, p["down2"]["conv1"], s)
         s3n = _conv_act(xn, p["down2"]["conv2"], s)

@@ -627,6 +627,369 @@ def _conv_up_packed_impl(
     )(*operands)
 
 
+# ---------------------------------------------------------------------------
+# Fused 2x-avg-pool + conv kernel (the encoder mirror of the up kernel).
+#
+# Carried-int8 profiling: the packed pool between a quant-out stem conv and
+# the next down conv forces the int8 tensor through an XLA
+# int8 -> f32 -> pool -> round chain whose reshape boundaries block fusion,
+# materializing full-resolution f32 intermediates. This kernel reads the
+# FULL-RES tensor's window directly (int8: half the DMA bytes of the
+# pooled-bf16 alternative) and constructs the pooled rows in VMEM:
+#
+#   * H: pooled row j = 0.5*(src[2j] + src[2j+1]) — two window reads with
+#     a dynamic base (2*r0 - ws) plus static offsets per unrolled row.
+#   * W: out slot i (P/2 slots, M constant — avg_pool_2x_packed's layout)
+#     is 0.25*(sum of src slots 2i+d, 2i+1+d), d = off%2; the d=1 group
+#     boundary reads the next group via one sublane shift. No edge
+#     corrections: w and the pairing are even-aligned, and guard zeros
+#     pool to zero.
+#   * int8: constructed rows are convex combos of the producer's grid, so
+#     one round puts them back on it (float input folds 127/ax into the
+#     0.25 factor); the contraction is int8 x int8 -> int32.
+#
+# Contraction: standard B2 loop at p_out = P/2 over the constructed rows
+# (static row indices — uwin[i] holds exactly pooled row r0 - hh + i).
+# ---------------------------------------------------------------------------
+
+WIN_PSRC = 32  # full-res window rows: covers 2*(RB + 2*hh) for k <= 5
+# plus the <= 7-row slack of the 8-aligned clamped DMA start.
+
+
+def supports_pool(spec: PackedSpec, k: int, cout: int, h_src: int) -> bool:
+    """Static routability of a fused pool+conv site. ``spec`` describes the
+    FULL-res input; the conv runs on its 2x average pool (P halves, M
+    constant) and h_out = h_src/2."""
+    if spec.p < 2 or spec.p % 2 or h_src % 2 or spec.w % 2:
+        return False
+    p_out = spec.p // 2
+    h_out = h_src // 2
+    return (
+        k % 2 == 1
+        and k <= 5
+        and h_out % RB == 0
+        and h_src >= WIN_PSRC
+        and spec.m % 8 == 0
+        and p_out * cout <= 4 * LANES
+        and spec.p * spec.c <= 4 * LANES
+        # The W-pairing lane arithmetic assumes no lane padding.
+        and (spec.p * spec.c) % LANES == 0
+    )
+
+
+def _kernel_body_pool(
+    *, k: int, q: int, m: int, h_src: int, wl: int, s_shift: int,
+    lin_src: int, lout: int, cout: int, p_in: int, d: int, off_out: int,
+    w_out: int, slope: Optional[float], out_dtype, quant: bool = False,
+    quant_out: bool = False,
+):
+    hh = (k - 1) // 2
+    h_out = h_src // 2
+    p_out = p_in // 2
+    c = lin_src // p_in
+    lin_pool = p_out * c
+    n_rows = RB + 2 * hh
+
+    def kernel(*refs):
+        if quant:
+            (x_ref, b2_ref, bias_ref, scale_ref, fs_ref, out_ref,
+             swin, uwin, sem) = refs
+        else:
+            (x_ref, b2_ref, bias_ref, fs_ref, out_ref,
+             swin, uwin, sem) = refs
+            scale_ref = None
+        bi = pl.program_id(0)
+        ri = pl.program_id(1)
+        r0 = ri * RB
+        base = 2 * (r0 - hh)  # first src row of interest
+        ws = jnp.clip((base >> 3) << 3, 0, h_src - WIN_PSRC)
+        ws = pl.multiple_of(ws, 8)
+
+        cpy = pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(ws, WIN_PSRC), :, :],
+            swin.at[pl.ds(0, WIN_PSRC), pl.ds(wl, m), :],
+            sem,
+        )
+        cpy.start()
+
+        mw = swin.shape[1]
+
+        @pl.when(jnp.logical_and(bi == 0, ri == 0))
+        def _():
+            if wl:
+                swin[:, :wl, :] = jnp.zeros_like(swin[:, :wl, :])
+            if mw > wl + m:
+                swin[:, wl + m:, :] = jnp.zeros_like(swin[:, wl + m:, :])
+
+        # Output guard mask (pooled guards are exact zeros, but bias +
+        # LReLU would poison them).
+        mi = jax.lax.broadcasted_iota(jnp.int32, (m, lout), 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (m, lout), 1)
+        pixo = p_out * mi + li // cout
+        gmask = jnp.logical_and(pixo >= off_out, pixo < off_out + w_out)
+
+        cpy.wait()
+
+        # Construct the pooled rows this block needs. fs folds 0.25 with
+        # the int8 grid step (127/ax for float input, 1 for int8 input).
+        base_w = 2 * r0 - ws  # window-relative src row of pooled row r0
+        for i in range(n_rows):
+            j_off = 2 * (i - hh)  # static src offset of pooled row r0+i-hh
+            ia = jnp.clip(base_w + j_off, 0, WIN_PSRC - 1)
+            ib = jnp.clip(base_w + j_off + 1, 0, WIN_PSRC - 1)
+            hsum = (swin[ia].astype(jnp.float32)
+                    + swin[ib].astype(jnp.float32))
+            if d:
+                nxt = jnp.concatenate(
+                    [hsum[1:], jnp.zeros_like(hsum[:1])], axis=0
+                )
+
+            def slot(j, hsum=hsum):
+                if j < p_in:
+                    return hsum[:, j * c:(j + 1) * c]
+                return nxt[:, (j - p_in) * c:(j - p_in + 1) * c]
+
+            blocks = [
+                slot(2 * t + d) + slot(2 * t + 1 + d)
+                for t in range(p_out)
+            ]
+            urow = jnp.concatenate(blocks, axis=-1) * fs_ref[0, 0]
+            jr = r0 + i - hh
+            valid = jnp.logical_and(jr >= 0, jr < h_out)
+            urow = jnp.where(valid, urow, 0.0)
+            if quant:
+                urow = jnp.clip(jnp.round(urow), -127.0, 127.0)
+            uwin[i] = urow.astype(uwin.dtype)
+
+        for yo in range(RB):
+            acc = jnp.zeros((m, lout), jnp.int32 if quant else jnp.float32)
+            for dy in range(k):
+                for qi in range(q):
+                    cs = wl + s_shift + qi
+                    acc = acc + jnp.dot(
+                        uwin[yo + dy, pl.ds(cs, m), :],
+                        b2_ref[dy * q + qi],
+                        preferred_element_type=(
+                            jnp.int32 if quant else jnp.float32
+                        ),
+                    )
+            if quant:
+                acc = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+            else:
+                acc = acc + bias_ref[:]
+            if slope is not None:
+                acc = jnp.where(acc >= 0, acc, slope * acc)
+            acc = jnp.where(gmask, acc, 0.0)
+            if quant_out:
+                acc = jnp.clip(jnp.round(acc), -127.0, 127.0)
+            out_ref[0, yo] = acc.astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "real_c", "k", "cout", "off_out",
+                              "slope", "out_dtype"),
+)
+def _conv_pool_packed_impl(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    k: int,
+    cout: int,
+    off_out: int,
+    slope: Optional[float],
+    absmax: Optional[jnp.ndarray] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+) -> jnp.ndarray:
+    b, h_src, m, lin_src = x.shape
+    p_in = spec.p
+    p_out = p_in // 2
+    hh = (k - 1) // 2
+    q = q_count(k, p_out)
+    quant = absmax is not None
+    assert out_absmax is None or quant
+    assert quant or x.dtype != jnp.int8
+    dtype = out_dtype or (jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype)
+    if out_absmax is not None:
+        dtype = jnp.int8
+    h_out = h_src // 2
+    d = spec.off % 2
+    off_pool = spec.off // 2
+
+    assert x.shape == (b, h_src, m, _round_up(p_in * spec.c, LANES)), (
+        x.shape, spec)
+    assert p_in * spec.c == lin_src, (spec, lin_src)  # lane-exact packing
+    assert h_out % RB == 0 and h_src >= WIN_PSRC, (h_out, h_src)
+    assert (off_pool - hh - off_out) % p_out == 0, (spec, k, off_out)
+    s = (off_pool - hh - off_out) // p_out
+
+    wi = w
+    if real_c < spec.c:
+        wi = jnp.pad(wi, ((0, 0), (0, 0), (0, spec.c - real_c), (0, 0)))
+    lout = p_out * cout
+    bias_ch = bias.astype(jnp.float32)
+    if quant:
+        (wq,), sw = _quantize_weights([wi], (absmax,))
+        b2 = _build_b2(wq, p_out)
+        ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
+        scale_ch = ax * sw / (127.0 * 127.0)
+        if out_absmax is not None:
+            inv_out = 127.0 / jnp.maximum(
+                out_absmax.astype(jnp.float32), 1e-12
+            )
+            scale_ch = scale_ch * inv_out
+            bias_ch = bias_ch * inv_out
+        scale_lanes = jnp.tile(scale_ch, (p_out,)).reshape(1, lout)
+        if x.dtype == jnp.int8:
+            fs = jnp.full((1, 1), 0.25, jnp.float32)
+        else:
+            fs = (0.25 * 127.0 / ax).reshape(1, 1)
+        win_dt = jnp.int8
+    else:
+        b2 = _build_b2(wi.astype(dtype), p_out)
+        fs = jnp.full((1, 1), 0.25, jnp.float32)
+        win_dt = dtype
+    wl = _round_up(max(0, -s), 8)
+    bias_lanes = jnp.tile(bias_ch, (p_out,)).reshape(1, lout)
+
+    mw = wl + m + max(0, s + q - 1) + d  # +d: the boundary pair's shift
+    kernel = _kernel_body_pool(
+        k=k, q=q, m=m, h_src=h_src, wl=wl, s_shift=s, lin_src=lin_src,
+        lout=lout, cout=cout, p_in=p_in, d=d, off_out=off_out,
+        w_out=spec.w // 2, slope=slope, out_dtype=dtype, quant=quant,
+        quant_out=out_absmax is not None,
+    )
+    operands = [x, b2, bias_lanes]
+    if quant:
+        operands.append(scale_lanes)
+    operands.append(fs)
+    n_vmem = len(operands) - 1
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h_out // RB),
+        out_shape=jax.ShapeDtypeStruct((b, h_out, m, lout), dtype),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem
+        ),
+        out_specs=pl.BlockSpec(
+            (1, RB, m, lout), lambda bi, ri: (bi, ri, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_PSRC, mw, lin_src), x.dtype),
+            pltpu.VMEM((RB + 2 * hh, mw, p_out * (lin_src // p_in)), win_dt),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(*operands)
+
+
+def _conv_pool_packed_xla(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    off_out: int,
+    slope: Optional[float],
+    absmax: Optional[jnp.ndarray] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Reference/fallback: packed pool -> packed conv (both XLA). An int8
+    input dequantizes first — exactly the kernel's math, since the pool is
+    linear: round(pool(q)) == quantize(pool(q * ax/127))."""
+    from rrin_tpu.ops.packed import avg_pool_2x_packed
+
+    if absmax is None:
+        xp_, ps = avg_pool_2x_packed(x[..., : spec.lanes], spec)
+        if out_dtype is not None:
+            xp_ = xp_.astype(out_dtype)
+        return _conv_packed_xla(
+            [pad_lanes(xp_, _round_up(ps.lanes, LANES))], w, bias, (ps,),
+            (real_c,), off_out, slope, out_dtype=out_dtype,
+        )
+    ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
+    xf = x[..., : spec.lanes].astype(jnp.float32)
+    if x.dtype == jnp.int8:
+        xf = xf * (ax / 127.0)
+    xp_, ps = avg_pool_2x_packed(xf, spec)
+    return _conv_packed_xla(
+        [pad_lanes(xp_, _round_up(ps.lanes, LANES))], w, bias, (ps,),
+        (real_c,), off_out, slope, (absmax,), out_absmax, out_dtype,
+    )
+
+
+def conv_pool_packed(
+    x: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    off_out: int,
+    slope: Optional[float] = None,
+    in_absmax: Optional[jnp.ndarray] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+) -> Tuple[jnp.ndarray, PackedSpec]:
+    """Fused 2x-avg-pool + conv2d(stride 1, SAME) + bias + LReLU.
+
+    ``x``/``spec`` describe the FULL-resolution packed input; the result is
+    the conv applied to its 2x average pool (identical to
+    avg_pool_2x_packed + conv_packed), packed at ``off_out`` with P halved
+    and M unchanged. The pooled tensor is never materialized in HBM.
+    Inference-only (no VJP); Mosaic on TPU, XLA elsewhere.
+
+    ``in_absmax``/``out_absmax``/``out_dtype``: as in :func:`conv_packed`
+    (an int8-dtyped ``x`` is already on the 127/in_absmax grid — the
+    carried-int8 path, with half the window DMA bytes).
+    """
+    k = w.shape[0]
+    cout = w.shape[3]
+    assert real_c == w.shape[2], (real_c, w.shape)
+    assert out_absmax is None or in_absmax is not None
+    xp = pad_lanes(x, _round_up(spec.p * spec.c, LANES))
+    out_spec = PackedSpec(
+        p=spec.p // 2, c=cout, w=spec.w // 2, off=off_out, m=spec.m
+    )
+    if _FORCE_KERNEL:  # interpret-mode tests on CPU
+        y = _conv_pool_packed_impl(
+            xp, w if in_absmax is not None else w.astype(xp.dtype), bias,
+            spec, real_c, k, cout, off_out, slope, in_absmax, out_absmax,
+            out_dtype,
+        )
+        return y, out_spec
+    if in_absmax is None:
+        y = jax.lax.platform_dependent(
+            xp, w, bias,
+            tpu=lambda a, ww, bb: _conv_pool_packed_impl(
+                a, ww.astype(a.dtype), bb, spec, real_c, k, cout, off_out,
+                slope, out_dtype=out_dtype,
+            ),
+            default=lambda a, ww, bb: _conv_pool_packed_xla(
+                a, ww, bb, spec, real_c, off_out, slope, out_dtype=out_dtype
+            ),
+        )
+    else:
+        oam = (out_absmax,) if out_absmax is not None else ()
+        y = jax.lax.platform_dependent(
+            xp, w, bias, in_absmax, *oam,
+            tpu=lambda a, ww, bb, am, *oa: _conv_pool_packed_impl(
+                a, ww, bb, spec, real_c, k, cout, off_out,
+                slope, am, oa[0] if oa else None, out_dtype,
+            ),
+            default=lambda a, ww, bb, am, *oa: _conv_pool_packed_xla(
+                a, ww, bb, spec, real_c, off_out, slope, am,
+                oa[0] if oa else None, out_dtype,
+            ),
+        )
+    return y, out_spec
+
+
 def _conv_up_packed_xla(
     x: jnp.ndarray,
     w: jnp.ndarray,
