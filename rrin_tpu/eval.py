@@ -105,21 +105,30 @@ def evaluate(
     compute_dtype: str = "float32",
     use_pallas: bool = False,
     cfg=None,
+    int8: bool = False,
+    int8_margin: float = 1.2,
 ) -> Dict[str, Any]:
     """PSNR/SSIM of predicted middle frames over a triplet set.
 
     Batches same-resolution triplets onto the device; one jit per
-    resolution. Returns a structured report dict.
+    resolution. ``int8`` calibrates activation ranges on the first batch
+    and scores the carried-int8 packed path — the eval-side quality gate
+    for the ``--int8`` inference mode. Returns a structured report dict.
     """
     import jax.numpy as jnp
 
     from rrin_tpu.config import ModelConfig
     from rrin_tpu.metrics import psnr, ssim
-    from rrin_tpu.models.rrin import forward
+    from rrin_tpu.models.rrin import (
+        forward,
+        forward_calibrate,
+        scale_quant_stats,
+    )
     from rrin_tpu.ops.pad import pad_to_multiple, unpad
 
     cfg = cfg or ModelConfig()
     cd = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[compute_dtype]
+    quant_stats = None
 
     psnrs: List[float] = []
     ssims: List[float] = []
@@ -143,9 +152,25 @@ def evaluate(
             i1 = np.stack([t[2] for t in trips]).astype(np.float32) / 255.0
             i0p, hw = pad_to_multiple(jnp.asarray(i0), cfg.pad_multiple)
             i1p, _ = pad_to_multiple(jnp.asarray(i1), cfg.pad_multiple)
+            if int8 and quant_stats is None:
+                from rrin_tpu.models.unet import packed_supported
+
+                if not packed_supported(
+                    i0p.shape[1], i0p.shape[2], cfg
+                ):
+                    raise ValueError(
+                        "int8 eval needs the packed fast path, which does "
+                        f"not support {i0p.shape[1]}x{i0p.shape[2]}"
+                    )
+                _, st = forward_calibrate(
+                    params, i0p, i1p, 0.5, cfg=cfg, compute_dtype=cd,
+                    use_pallas=use_pallas,
+                )
+                quant_stats = scale_quant_stats(st, int8_margin)
             pred = forward(
                 params, i0p, i1p, 0.5, cfg=cfg, compute_dtype=cd,
-                use_pallas=use_pallas, packed=use_pallas,
+                use_pallas=use_pallas, packed=use_pallas or int8,
+                quant_stats=quant_stats,
             )
             pred = unpad(pred, hw)
             p = np.asarray(psnr(pred, jnp.asarray(gt)))
@@ -174,6 +199,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="score the calibrated int8 packed path (the "
+                   "quality gate for the pipeline's --int8 mode)")
     p.add_argument("--synthesize", type=int, default=0, metavar="N",
                    help="generate N synthetic triplets into --data and exit")
     p.add_argument("--report", default=None, help="write JSON report here")
@@ -206,6 +234,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         params, dirs, batch_size=args.batch,
         compute_dtype="float32" if args.fp32 else "bfloat16",
         use_pallas=not args.no_pallas,
+        int8=args.int8,
     )
     summary = {k: v for k, v in report.items() if k != "per_triplet"}
     print(json.dumps(summary, indent=2))

@@ -20,13 +20,17 @@ from typing import List, Optional
 
 
 def interpolate_pair(params, im1, im3, t=0.5, cfg=None, compute_dtype="float32",
-                     use_pallas: bool = False):
-    """im1/im3: HWC uint8 RGB -> HWC uint8 RGB interpolated frame."""
+                     use_pallas: bool = False, int8: bool = False,
+                     int8_margin: float = 1.2):
+    """im1/im3: HWC uint8 RGB -> HWC uint8 RGB interpolated frame.
+
+    ``int8`` calibrates activation ranges on this pair and runs the
+    carried-int8 packed path (requires a packed-supported shape)."""
     import jax.numpy as jnp
     import numpy as np
 
     from rrin_tpu.config import ModelConfig
-    from rrin_tpu.models.rrin import forward
+    from rrin_tpu.models.rrin import forward, forward_calibrate, scale_quant_stats
     from rrin_tpu.ops.pad import pad_to_multiple, unpad
 
     cfg = cfg or ModelConfig()
@@ -35,8 +39,21 @@ def interpolate_pair(params, im1, im3, t=0.5, cfg=None, compute_dtype="float32",
     i1 = jnp.asarray(im3.astype("float32") / 255.0)[None]
     i0p, hw = pad_to_multiple(i0, cfg.pad_multiple)
     i1p, _ = pad_to_multiple(i1, cfg.pad_multiple)
+    quant_stats = None
+    if int8:
+        from rrin_tpu.models.unet import packed_supported
+
+        if not packed_supported(i0p.shape[1], i0p.shape[2], cfg):
+            raise ValueError(
+                "int8 needs the packed fast path, which does not support "
+                f"{i0p.shape[1]}x{i0p.shape[2]}"
+            )
+        _, st = forward_calibrate(params, i0p, i1p, t, cfg=cfg,
+                                  compute_dtype=cd, use_pallas=use_pallas)
+        quant_stats = scale_quant_stats(st, int8_margin)
     pred = forward(params, i0p, i1p, t, cfg=cfg, compute_dtype=cd,
-                   use_pallas=use_pallas, packed=use_pallas)
+                   use_pallas=use_pallas, packed=use_pallas or int8,
+                   quant_stats=quant_stats)
     pred = unpad(pred, hw)[0]
     return np.asarray(jnp.round(jnp.clip(pred, 0, 1) * 255.0)).astype("uint8")
 
@@ -51,6 +68,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--gt", default=None, help="ground-truth middle frame (prints PSNR/SSIM)")
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="calibrated int8 packed path (see cli.py --int8)")
     args = p.parse_args(argv)
 
     import cv2
@@ -83,6 +102,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         params, im1[:, :, ::-1], im3[:, :, ::-1], t=args.t,
         compute_dtype="float32" if args.fp32 else "bfloat16",
         use_pallas=not args.no_pallas,
+        int8=args.int8,
     )
     cv2.imwrite(args.output, pred[:, :, ::-1])
 

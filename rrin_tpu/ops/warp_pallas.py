@@ -159,7 +159,7 @@ def _warp_kernel_pairs(H: int, Wp: int, win_rows: int):
                     for c in range(2):
                         sub = wrefs[c][pl.ds(g8, 8), pl.ds(start, LANES)]
                         row8 = jnp.take_along_axis(sub, ridx, axis=0)
-                        rowb = jnp.concatenate([row8, row8], axis=0)
+                        rowb = jnp.concatenate([row8] * (RB // 8), axis=0)
                         gv0 = jnp.take_along_axis(rowb, xl0, axis=1)
                         gv1 = jnp.take_along_axis(rowb, xl1, axis=1)
                         u0 = pltpu.bitcast(gv0, jnp.uint32)
@@ -293,7 +293,7 @@ def _warp_kernel(H: int, Wp: int, win_rows: int):
                         # Exact row broadcast: constant-index sublane gather
                         # (8 rows) stacked to the RB output rows.
                         row8 = jnp.take_along_axis(sub, ridx, axis=0)
-                        rowb = jnp.concatenate([row8, row8], axis=0)
+                        rowb = jnp.concatenate([row8] * (RB // 8), axis=0)
                         gv0 = jnp.take_along_axis(rowb, xl0, axis=1)
                         gv1 = jnp.take_along_axis(rowb, xl1, axis=1)
                         out.append(accs[c] + wrow * (m0 * gv0 + m1 * gv1))

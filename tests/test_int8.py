@@ -138,3 +138,35 @@ class TestPipelineInt8:
         pairs = rng.integers(0, 256, (1, 2, 32, 48, 3), dtype=np.uint8)
         with pytest.raises(ValueError, match="int8"):
             interp.step(pairs)
+
+
+class TestInt8Tools:
+    def test_eval_int8(self, rng, tmp_path):
+        from rrin_tpu.eval import evaluate, find_triplets, synthesize_triplets
+
+        params = init_params(jax.random.key(0), CFG)
+        root = str(tmp_path / "trips")
+        synthesize_triplets(root, count=2, hw=(64, 96))
+        dirs = find_triplets(root)
+        rep = evaluate(params, dirs, batch_size=2, compute_dtype="float32",
+                       int8=True)
+        ref = evaluate(params, dirs, batch_size=2, compute_dtype="float32")
+        assert rep["count"] == 2
+        # random weights produce a blend; int8 must stay within ~1 dB of it
+        assert abs(rep["psnr_mean"] - ref["psnr_mean"]) < 1.0
+
+    def test_interp_image_int8(self, rng, tmp_path):
+        import cv2
+
+        from rrin_tpu.interp_image import main as img_main
+
+        base = (rng.random((64, 96, 3)) * 255).astype(np.uint8)
+        a = str(tmp_path / "a.png")
+        b = str(tmp_path / "b.png")
+        cv2.imwrite(a, base)
+        cv2.imwrite(b, np.roll(base, 4, axis=1))
+        out = str(tmp_path / "mid.png")
+        rc = img_main(["--im1", a, "--im3", b, "-o", out, "--fp32",
+                       "--no-pallas", "--int8"])
+        assert rc == 0
+        assert cv2.imread(out) is not None
