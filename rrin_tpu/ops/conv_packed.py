@@ -84,6 +84,15 @@ def supports(spec: PackedSpec, k: int, cout: int, h: int) -> bool:
     )
 
 
+def _fuse_dy(k: int, lout: int) -> bool:
+    """Thin-output (head) fast path: when all k dy-taps' B2 blocks fit one
+    128-lane MXU tile side by side, ONE dot per (row, qi) against the
+    dy-concatenated B2 computes every tap's partial product — k x fewer
+    MXU passes than k separate N=lout dots (N<=128 always costs one
+    N-tile), combined by shifted static lane slices."""
+    return k > 1 and k * lout <= LANES
+
+
 def _kernel_body(
     *, k: int, q: int, m: int, h: int, wls, s_shifts, lins, lout: int,
     cout: int, p: int, off_out: int, w_real: int, slope: Optional[float],
@@ -93,6 +102,7 @@ def _kernel_body(
     n_in = len(wls)
     sentinel = WIN_ROWS  # memset-zero row index in every window
     acc_dt = jnp.int32 if quant else jnp.float32
+    fuse_dy = _fuse_dy(k, lout)
 
     def kernel(*refs):
         x_refs = refs[:n_in]
@@ -103,6 +113,7 @@ def _kernel_body(
         nfix += 1 if quant else 0
         out_ref = refs[nfix]
         wins = refs[nfix + 1 : nfix + 1 + n_in]
+        pbuf = refs[nfix + 1 + n_in] if fuse_dy else None
         sem = refs[-1]
 
         bi = pl.program_id(0)
@@ -148,20 +159,45 @@ def _kernel_body(
         for cpy in copies:
             cpy.wait()
 
-        for yo in range(RB):
-            acc = jnp.zeros((m, lout), acc_dt)
-            for dy in range(k):
-                a_abs = r0 + yo + dy - hh
+        if fuse_dy:
+            # One dot per (extended row, operand, qi) against the
+            # dy-concatenated B2 (b2_refs[i]: (q, lin, k*lout)); out row
+            # yo then sums k shifted lane slices of the products.
+            for j in range(RB + k - 1):
+                a_abs = r0 + j - hh
                 valid = jnp.logical_and(a_abs >= 0, a_abs < h)
                 a_idx = jnp.where(valid, a_abs - ws, sentinel)
+                pj = jnp.zeros((m, k * lout), acc_dt)
                 for i in range(n_in):
                     for qi in range(q):
                         cs = wls[i] + s_shifts[i] + qi
-                        acc = acc + jnp.dot(
+                        pj = pj + jnp.dot(
                             wins[i][a_idx, pl.ds(cs, m), :],
-                            b2_refs[i][dy * q + qi],
+                            b2_refs[i][qi],
                             preferred_element_type=acc_dt,
                         )
+                pbuf[j] = pj
+
+        for yo in range(RB):
+            acc = jnp.zeros((m, lout), acc_dt)
+            if fuse_dy:
+                for dy in range(k):
+                    acc = acc + pbuf[yo + dy][
+                        :, dy * lout : (dy + 1) * lout
+                    ]
+            else:
+                for dy in range(k):
+                    a_abs = r0 + yo + dy - hh
+                    valid = jnp.logical_and(a_abs >= 0, a_abs < h)
+                    a_idx = jnp.where(valid, a_abs - ws, sentinel)
+                    for i in range(n_in):
+                        for qi in range(q):
+                            cs = wls[i] + s_shifts[i] + qi
+                            acc = acc + jnp.dot(
+                                wins[i][a_idx, pl.ds(cs, m), :],
+                                b2_refs[i][dy * q + qi],
+                                preferred_element_type=acc_dt,
+                            )
             if quant:
                 acc = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
             else:
@@ -291,11 +327,23 @@ def _conv_packed_impl(
         bias_lanes = jnp.tile(bias.astype(jnp.float32), (p,)).reshape(1, lout)
         win_dt = dtype
 
+    fuse_dy = _fuse_dy(k, lout)
     b2s = []
     for wq, lin, spec in zip(wqs, lins, specs):
         b2 = _build_b2(wq, p)  # (k*q, p*spec.c, p*cout)
         if p * spec.c < lin:
             b2 = jnp.pad(b2, ((0, 0), (0, lin - p * spec.c), (0, 0)))
+        if fuse_dy:
+            # (q, lin, k*lout): dy blocks side by side per qi (see
+            # _fuse_dy) — one MXU pass computes all k taps' products.
+            b2 = jnp.stack(
+                [
+                    jnp.concatenate(
+                        [b2[dy * q + qi] for dy in range(k)], axis=-1
+                    )
+                    for qi in range(q)
+                ]
+            )
         b2s.append(b2)
 
     kernel = _kernel_body(
@@ -314,6 +362,13 @@ def _conv_packed_impl(
         )
         for i in range(n_in)
     ]
+    if fuse_dy:
+        scratch.append(
+            pltpu.VMEM(
+                (RB + k - 1, m, k * lout),
+                jnp.int32 if quant else jnp.float32,
+            )
+        )
     operands = list(xs) + b2s + [bias_lanes]
     n_vmem = n_in + 1
     if quant:
