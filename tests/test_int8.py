@@ -170,3 +170,15 @@ class TestInt8Tools:
                        "--no-pallas", "--int8"])
         assert rc == 0
         assert cv2.imread(out) is not None
+
+    def test_device_step_int8_exp2_modes(self, rng):
+        """int8 carried path under 4x interpolation in both time modes."""
+        from rrin_tpu.pipeline import Interpolator
+
+        params = init_params(jax.random.key(0), CFG)
+        pairs = rng.integers(0, 256, (1, 2, 48, 64, 3), dtype=np.uint8)
+        for mode in ("direct", "cascade"):
+            interp = Interpolator(params, CFG, exp=2, mode=mode,
+                                  compute_dtype="float32", int8=True)
+            out = np.asarray(interp.step(pairs))
+            assert out.shape == (1, 3, 48, 64, 3) and out.dtype == np.uint8
