@@ -197,8 +197,10 @@ def run_bench(size: str = "1080p", iters: int = 10, batch: int = 1,
 
     from rrin_tpu.config import ModelConfig
     from rrin_tpu.models.rrin import (
-        forward, forward_calibrate, init_params, scale_quant_stats,
+        forward, forward_calibrate, init_params, prepare_packed_params,
+        scale_quant_stats,
     )
+    from rrin_tpu.models.unet import packed_supported
 
     cfg = ModelConfig()
     params = init_params(jax.random.key(0), cfg)
@@ -218,10 +220,18 @@ def run_bench(size: str = "1080p", iters: int = 10, batch: int = 1,
         )
         quant_stats = scale_quant_stats(stats, 1.2)
 
+    # Prepare-once (the serving configuration, matching the pipeline):
+    # weight-side kernel constants are collected outside the timed loop.
+    pp = None
+    if (use_pallas or int8) and packed_supported(h, w, cfg):
+        pp = prepare_packed_params(
+            params, cfg, jnp.bfloat16, quant_stats=quant_stats, hw=(h, w)
+        )
+
     def step(a, b):
         return forward(params, a, b, 0.5, cfg=cfg, compute_dtype=jnp.bfloat16,
                        use_pallas=use_pallas, packed=use_pallas or int8,
-                       quant_stats=quant_stats)
+                       quant_stats=quant_stats, packed_params=pp)
 
     if int8:
         ref = forward(params, i0, i1, 0.5, cfg=cfg,

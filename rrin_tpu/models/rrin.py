@@ -117,6 +117,7 @@ def forward(
     remat: bool = False,
     packed: bool = False,
     quant_stats: Optional[Dict[str, Dict[str, jnp.ndarray]]] = None,
+    packed_params: Optional[Dict[str, Dict[str, dict]]] = None,
 ) -> jnp.ndarray:
     """Interpolate the frame at time t between i0 and i1.
 
@@ -140,6 +141,9 @@ def forward(
         packed-kernel conv then runs int8 x int8 -> int32 on the MXU
         (~1.7x the bf16 MXU rate on v5e, half the window DMA bytes).
         Quality bar: >35 dB PSNR vs the fp32 output (tests/test_int8.py).
+      packed_params: per-UNet weight-side kernel constants from
+        :func:`prepare_packed_params` — skips rebuilding B2/bias/scale
+        tensors inside the jitted frame (prepare once, serve many).
 
     Returns (B, H, W, 3) float32 frame in [0, 1].
     """
@@ -172,10 +176,29 @@ def forward(
         jax.checkpoint(base_fn, static_argnums=(2,)) if remat else base_fn
     )
 
+    prep = packed_params if use_packed else None
+    if isinstance(prep, PackedParams):
+        from rrin_tpu.models.unet import packed_branch_flags
+
+        if packed_branch_flags(
+            prep.hw[0], prep.hw[1], cfg
+        ) != packed_branch_flags(i0.shape[-3], i0.shape[-2], cfg):
+            raise ValueError(
+                f"packed_params were prepared for shape {prep.hw}, whose "
+                f"kernel-branch configuration differs from "
+                f"{i0.shape[-3]}x{i0.shape[-2]} — re-run "
+                "prepare_packed_params with hw matching the serving shape"
+            )
+        prep = prep.tree
+
     def run_unet(name: str, *feats: jnp.ndarray) -> jnp.ndarray:
         x = jnp.concatenate([f.astype(cd) for f in feats], axis=-1)
-        if quant_stats is not None:
-            return apply_fn(params[name], x, cfg, quant_stats[name]).astype(f32)
+        if quant_stats is not None or prep is not None:
+            return apply_fn(
+                params[name], x, cfg,
+                quant_stats[name] if quant_stats is not None else None,
+                prep[name] if prep is not None else None,
+            ).astype(f32)
         return apply_fn(params[name], x, cfg).astype(f32)
 
     return _cascade(
@@ -220,6 +243,77 @@ def forward_calibrate(
         pairs=(cd == jnp.bfloat16),
     )
     return out, stats
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "compute_dtype", "hw"),
+)
+def _prepare_packed_collect(
+    params: Params,
+    cfg: ModelConfig,
+    compute_dtype: jnp.dtype,
+    quant_stats,
+    hw: tuple,
+) -> Dict[str, Dict[str, dict]]:
+    """Collect every packed-conv site's weight-side kernel constants
+    (B2 blocks, lane-tiled bias, folded int8 scales) — the prepare-once
+    serving artifact. The constants are shape-independent; ``hw`` only
+    selects the branch configuration and defaults to the smallest shape
+    that enables every kernel branch (l2+l3 levels, fused pool/upsample).
+    Pass the result as ``forward(..., packed_params=...)``.
+    """
+    from rrin_tpu.models.unet import unet_apply_packed
+
+    out: Dict[str, Dict[str, dict]] = {}
+    for name, (cin, _cout) in UNET_SIGNATURES.items():
+        col: Dict[str, dict] = {}
+        x = jnp.zeros((1, hw[0], hw[1], cin), compute_dtype)
+        unet_apply_packed(
+            params[name], x, cfg,
+            absmax=None if quant_stats is None else quant_stats[name],
+            collect=col,
+        )
+        out[name] = col
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+class PackedParams:
+    """Prepared weight-side kernel constants + the (static) shape whose
+    kernel-branch configuration they were collected under."""
+
+    def __init__(self, tree: Dict[str, Any], hw: tuple):
+        self.tree = tree
+        self.hw = tuple(hw)
+
+    def tree_flatten(self):
+        return (self.tree,), self.hw  # hw rides the static aux data
+
+    @classmethod
+    def tree_unflatten(cls, hw, children):
+        return cls(children[0], hw)
+
+
+def prepare_packed_params(
+    params: Params,
+    cfg: ModelConfig = ModelConfig(),
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    quant_stats=None,
+    hw: tuple = (192, 64),
+) -> "PackedParams":
+    """Collect every packed-conv site's weight-side kernel constants
+    (B2 blocks, lane-tiled bias, folded int8 scales) — the prepare-once
+    serving artifact. The constants are shape-independent, but the SET of
+    sites and their int8-carry roles follow the kernel-branch flags of
+    ``hw`` (models/unet.packed_branch_flags) — prepare with the serving
+    shape (or any shape with identical flags; the default enables every
+    branch). ``forward`` rejects a mismatched prep. Pass the result as
+    ``forward(..., packed_params=...)``.
+    """
+    return PackedParams(
+        _prepare_packed_collect(params, cfg, compute_dtype, quant_stats, hw),
+        hw,
+    )
 
 
 def merge_quant_stats(a, b):

@@ -252,17 +252,48 @@ def _packed_m0(w: int) -> int:
     return -(-(w + 6) // 4 // 8) * 8
 
 
+def packed_branch_flags(h: int, w: int, cfg: ModelConfig):
+    """(l2_kernel, l3_kernel, fuse_d1, fuse_d2) — the static branch
+    configuration of unet_apply_packed at this shape. Weight-side prep
+    (models/rrin.prepare_packed_params) is only valid across shapes with
+    IDENTICAL flags (they decide which sites carry int8 and whether the
+    fused pool kernels see int8 input)."""
+    from rrin_tpu.ops.conv_packed import min_h, supports_pool
+    from rrin_tpu.ops.packed import PackedSpec
+
+    m0 = _packed_m0(w)
+    l2_kernel = (h // 4) % 8 == 0 and h // 4 >= min_h(3)
+    l3_kernel = (h // 8) % 8 == 0 and h // 8 >= min_h(3)
+    k_d = cfg.down_kernels
+    w1c, w2c, w3c = cfg.widths[0], cfg.widths[1], cfg.widths[2]
+    fuse_d1 = supports_pool(
+        PackedSpec(p=4, c=w1c, w=w, off=_PK["c2"], m=m0), k_d[0], w2c, h
+    )
+    fuse_d2 = supports_pool(
+        PackedSpec(p=2, c=w2c, w=w // 2, off=_PK["d1c2"], m=m0),
+        k_d[1], w3c, h // 2,
+    )
+    return l2_kernel, l3_kernel, fuse_d1, fuse_d2
+
+
 def unet_apply_packed(
     p: Params,
     x: jnp.ndarray,
     cfg: ModelConfig,
     absmax: Optional[Dict[str, jnp.ndarray]] = None,
+    prep: Optional[Dict[str, dict]] = None,
+    collect: Optional[Dict[str, dict]] = None,
 ) -> jnp.ndarray:
     """unet_apply in the carried packed layout (inference fast path).
 
     Numerically equivalent to :func:`unet_apply` up to conv accumulation
     order (tests/test_unet_packed.py). Inference-only: the packed conv has
     no VJP — training uses the plain path.
+
+    ``prep``: per-site weight-side constants from a prior ``collect``
+    run (see models/rrin.prepare_packed_params) — every conv then skips
+    rebuilding its B2/bias/scale tensors inside the jitted frame.
+    ``collect``: a dict to RECORD those constants into (site -> prep).
 
     ``absmax``: optional calibration stats from :func:`unet_apply_stats`
     (producer-tensor name -> |x| max). When given, every conv that runs a
@@ -293,29 +324,21 @@ def unet_apply_packed(
     m0 = _packed_m0(w)
     # Levels 2 and 3 run the P=1 kernel only when their H is still
     # kernel-shaped; otherwise those convs stay plain XLA (same math).
-    l2_kernel = (h // 4) % 8 == 0 and h // 4 >= min_h(3)
-    l3_kernel = (h // 8) % 8 == 0 and h // 8 >= min_h(3)
+    l2_kernel, l3_kernel, fuse_d1, fuse_d2 = packed_branch_flags(h, w, cfg)
     m3 = -(-(w // 8) // 8) * 8
 
     dt = x.dtype
 
     def amax_for(site):
-        if absmax is None:
+        if absmax is None or site not in QUANT_SITES:
             return None
         return tuple(absmax[n] for n in QUANT_SITES[site])
 
-    # Whether the down-stage entries run the fused pool+conv kernel (the
-    # pooled tensor then never materializes; its int8 window reads the
-    # full-res carried tensor at half the bf16 bytes).
-    k_d = cfg.down_kernels
-    w1c, w2c, w3c = cfg.widths[0], cfg.widths[1], cfg.widths[2]
-    fuse_d1 = supports_pool(
-        PackedSpec(p=4, c=w1c, w=w, off=_PK["c2"], m=m0), k_d[0], w2c, h
-    )
-    fuse_d2 = supports_pool(
-        PackedSpec(p=2, c=w2c, w=w // 2, off=_PK["d1c2"], m=m0),
-        k_d[1], w3c, h // 2,
-    )
+    def _pc(site):
+        """(prepared, collect) plumbing for one conv site."""
+        pr = prep.get(site) if prep is not None else None
+        co = (collect, site) if collect is not None else None
+        return pr, co
 
     # int8 carry plan: a conv's output stays ON its own int8 grid (the
     # kernel epilogue emits int8 directly — no separate quantize pass, half
@@ -345,22 +368,25 @@ def unet_apply_packed(
         return jnp.clip(jnp.round(t), -127.0, 127.0).astype(jnp.int8)
 
     def conv(parts, prm, off_out, slope=s, site=None):
-        am = amax_for(site) if site is not None else None
+        am = amax_for(site)
+        pr, co = _pc(site)
         return conv_packed(parts, prm["w"], prm["b"], off_out, slope,
                            in_absmax=am, out_absmax=out_q(site),
-                           out_dtype=dt)
+                           out_dtype=dt, prepared=pr, collect=co)
 
     def conv_up(t, ts, real_c, prm, off_out, site):
         """2x upsample + conv1 of an up stage: fused kernel when the site
         qualifies (never materializes the doubled tensor — see
         ops/conv_packed.py), else packed upsample + packed conv."""
         am = amax_for(site)
+        pr, co = _pc(site)
         if supports_up(ts, prm["w"].shape[0], prm["w"].shape[3],
                        2 * t.shape[1]) and ts.c == real_c:
             return conv_up_packed(t, ts, real_c, prm["w"], prm["b"],
                                   off_out, s,
                                   in_absmax=None if am is None else am[0],
-                                  out_absmax=out_q(site), out_dtype=dt)
+                                  out_absmax=out_q(site), out_dtype=dt,
+                                  prepared=pr, collect=co)
         if t.dtype == jnp.int8:
             tu, tus = upsample_2x_packed(t.astype(jnp.float32), ts)
             tu = _rq(tu)
@@ -368,14 +394,17 @@ def unet_apply_packed(
             tu, tus = upsample_2x_packed(t, ts)
         return conv_packed([(tu, tus, real_c)], prm["w"], prm["b"],
                            off_out, s, in_absmax=am,
-                           out_absmax=out_q(site), out_dtype=dt)
+                           out_absmax=out_q(site), out_dtype=dt,
+                           prepared=pr, collect=co)
 
     def conv_pool(t, ts, real_c, prm, off_out, site):
         """2x avg-pool + conv1 of a down stage, fused in-kernel."""
         am = amax_for(site)
+        pr, co = _pc(site)
         return conv_pool_packed(t, ts, real_c, prm["w"], prm["b"], off_out,
                                 s, in_absmax=None if am is None else am[0],
-                                out_absmax=out_q(site), out_dtype=dt)
+                                out_absmax=out_q(site), out_dtype=dt,
+                                prepared=pr, collect=co)
 
     def pool_p(t, ts):
         """Packed 2x avg-pool, staying on a carried int8 grid if given one."""
@@ -509,5 +538,6 @@ def unet_apply_packed(
         site="u4c2",
     )
 
-    t, ts = conv([(t, ts, 32)], p["conv3"], _PK["head"], slope=None)
+    t, ts = conv([(t, ts, 32)], p["conv3"], _PK["head"], slope=None,
+                 site="head")
     return unpack(t, ts)

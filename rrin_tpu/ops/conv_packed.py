@@ -245,58 +245,48 @@ def _quantize_weights(wis, absmax):
     return wqs, sw
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "specs", "real_cs", "k", "cout", "off_out", "slope", "out_dtype",
-    ),
-)
-def _conv_packed_impl(
-    xs: Tuple[jnp.ndarray, ...],
+def _conv_statics(specs, k, off_out):
+    """(wls, s_shifts, lins) — the static per-operand window geometry."""
+    p = specs[0].p
+    hh = (k - 1) // 2
+    wls, s_shifts, lins = [], [], []
+    for spec in specs:
+        assert spec.p == p and spec.m == specs[0].m
+        assert (spec.off - hh - off_out) % p == 0, (spec, k, off_out)
+        s = (spec.off - hh - off_out) // p
+        wls.append(_round_up(max(0, -s), 8))  # 8-aligned DMA dst offset
+        s_shifts.append(s)
+        lins.append(_round_up(p * spec.c, LANES))
+    return wls, s_shifts, lins
+
+
+def prep_conv(
     w: jnp.ndarray,
     bias: jnp.ndarray,
     specs: Tuple[PackedSpec, ...],
     real_cs: Tuple[int, ...],
     k: int,
     cout: int,
-    off_out: int,
-    slope: Optional[float],
-    absmax: Optional[Tuple[jnp.ndarray, ...]] = None,
-    out_absmax: Optional[jnp.ndarray] = None,
-    out_dtype=None,
-) -> jnp.ndarray:
-    b, h, m, _ = xs[0].shape
+    absmax=None,
+    out_absmax=None,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Weight-side constants of one conv site — B2 blocks, lane-tiled
+    bias, and (int8) the folded output scale. Shape-independent: compute
+    ONCE per model (see models/rrin.prepare_packed_params) instead of
+    inside every jitted frame."""
     p = specs[0].p
-    hh = (k - 1) // 2
     q = q_count(k, p)
+    lout = p * cout
     quant = absmax is not None
-    assert out_absmax is None or quant
-    assert quant or all(x.dtype != jnp.int8 for x in xs)
-    in_f = [x for x in xs if x.dtype != jnp.int8]
-    dtype = out_dtype or (in_f[0].dtype if in_f else jnp.bfloat16)
-    if out_absmax is not None:
-        dtype = jnp.int8
-
-    wls, s_shifts, lins, wis = [], [], [], []
-    row = 0
-    for x, spec, rc in zip(xs, specs, real_cs):
-        assert x.shape == (b, h, m, _round_up(p * spec.c, LANES)), (
-            x.shape, spec)
-        assert spec.p == p and spec.m == m
-        assert (spec.off - hh - off_out) % p == 0, (spec, k, off_out)
-        s = (spec.off - hh - off_out) // p
-        # w rows for this operand, zero-extended to the (padded) spec.c.
+    wis, row = [], 0
+    for spec, rc in zip(specs, real_cs):
         wi = w[:, :, row : row + rc, :]
         row += rc
         if rc < spec.c:
             wi = jnp.pad(wi, ((0, 0), (0, 0), (0, spec.c - rc), (0, 0)))
-        wl = _round_up(max(0, -s), 8)  # 8-aligned DMA dst offset
-        wls.append(wl)
-        s_shifts.append(s)
-        lins.append(x.shape[-1])
         wis.append(wi)
     assert row == w.shape[2], (row, w.shape)
-    lout = p * cout
 
     if quant:
         wqs, sw = _quantize_weights(wis, absmax)
@@ -314,22 +304,15 @@ def _conv_packed_impl(
             bias_ch = bias_ch * inv_out
         scale_lanes = jnp.tile(scale_ch, (p,)).reshape(1, lout)
         bias_lanes = jnp.tile(bias_ch, (p,)).reshape(1, lout)
-        # Operands already on the int8 grid (carried from a quant-out
-        # producer) skip the quantize pass.
-        xs = tuple(
-            x if x.dtype == jnp.int8 else _quantize_act(x, ax)
-            for x, ax in zip(xs, absmax)
-        )
-        win_dt = jnp.int8
     else:
         wqs = [wi.astype(dtype) for wi in wis]
         scale_lanes = None
         bias_lanes = jnp.tile(bias.astype(jnp.float32), (p,)).reshape(1, lout)
-        win_dt = dtype
 
     fuse_dy = _fuse_dy(k, lout)
     b2s = []
-    for wq, lin, spec in zip(wqs, lins, specs):
+    for wq, spec in zip(wqs, specs):
+        lin = _round_up(p * spec.c, LANES)
         b2 = _build_b2(wq, p)  # (k*q, p*spec.c, p*cout)
         if p * spec.c < lin:
             b2 = jnp.pad(b2, ((0, 0), (0, lin - p * spec.c), (0, 0)))
@@ -345,7 +328,62 @@ def _conv_packed_impl(
                 ]
             )
         b2s.append(b2)
+    prep = {"b2s": tuple(b2s), "bias": bias_lanes}
+    if scale_lanes is not None:
+        prep["scale"] = scale_lanes
+    return prep
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "specs", "real_cs", "k", "cout", "off_out", "slope", "out_dtype",
+    ),
+)
+def _conv_packed_impl(
+    xs: Tuple[jnp.ndarray, ...],
+    prep: dict,
+    specs: Tuple[PackedSpec, ...],
+    real_cs: Tuple[int, ...],
+    k: int,
+    cout: int,
+    off_out: int,
+    slope: Optional[float],
+    absmax: Optional[Tuple[jnp.ndarray, ...]] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+) -> jnp.ndarray:
+    b, h, m, _ = xs[0].shape
+    p = specs[0].p
+    q = q_count(k, p)
+    quant = absmax is not None
+    assert out_absmax is None or quant
+    assert quant or all(x.dtype != jnp.int8 for x in xs)
+    in_f = [x for x in xs if x.dtype != jnp.int8]
+    dtype = out_dtype or (in_f[0].dtype if in_f else jnp.bfloat16)
+    if out_absmax is not None:
+        dtype = jnp.int8
+    for x, spec in zip(xs, specs):
+        assert x.shape == (b, h, m, _round_up(p * spec.c, LANES)), (
+            x.shape, spec)
+    wls, s_shifts, lins = _conv_statics(specs, k, off_out)
+    lout = p * cout
+    b2s = list(prep["b2s"])
+    bias_lanes = prep["bias"]
+    scale_lanes = prep.get("scale")
+
+    if quant:
+        # Operands already on the int8 grid (carried from a quant-out
+        # producer) skip the quantize pass.
+        xs = tuple(
+            x if x.dtype == jnp.int8 else _quantize_act(x, ax)
+            for x, ax in zip(xs, absmax)
+        )
+        win_dt = jnp.int8
+    else:
+        win_dt = dtype
+
+    fuse_dy = _fuse_dy(k, lout)
     kernel = _kernel_body(
         k=k, q=q, m=m, h=h, wls=tuple(wls), s_shifts=tuple(s_shifts),
         lins=tuple(lins), lout=lout, cout=cout, p=p, off_out=off_out,
@@ -574,14 +612,67 @@ def _kernel_body_up(
     return kernel
 
 
+def prep_conv_up(
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    k: int,
+    cout: int,
+    absmax=None,
+    out_absmax=None,
+    dtype=jnp.bfloat16,
+    int8_input: bool = False,
+) -> dict:
+    """Weight-side constants of one fused-upsample conv site (see
+    :func:`prep_conv`). ``int8_input``: the runtime input arrives already
+    on the int8 grid, so the in-register quantize fold is 1."""
+    p_out = 2 * spec.p
+    lout = p_out * cout
+    quant = absmax is not None
+    wi = w
+    if real_c < spec.c:
+        wi = jnp.pad(wi, ((0, 0), (0, 0), (0, spec.c - real_c), (0, 0)))
+    bias_ch = bias.astype(jnp.float32)
+    prep = {}
+    if quant:
+        # The upsample is a convex combination, so |up(x)| <= |x| and the
+        # input's absmax calibrates the constructed rows too. Rows are
+        # quantized in-register (the 127/ax step rides the correction
+        # mask — already-int8 input is already on that grid, so the fold
+        # factor is 1); B2 is per-output-channel int8.
+        (wq,), sw = _quantize_weights([wi], (absmax,))
+        b2 = _build_b2(wq, p_out)
+        ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
+        scale_ch = ax * sw / (127.0 * 127.0)
+        if out_absmax is not None:
+            inv_out = 127.0 / jnp.maximum(
+                out_absmax.astype(jnp.float32), 1e-12
+            )
+            scale_ch = scale_ch * inv_out
+            bias_ch = bias_ch * inv_out
+        prep["scale"] = jnp.tile(scale_ch, (p_out,)).reshape(1, lout)
+        if int8_input:
+            prep["inva"] = jnp.ones((1, 1), jnp.float32)
+        else:
+            prep["inva"] = (127.0 / ax).reshape(1, 1)
+    else:
+        b2 = _build_b2(wi.astype(dtype), p_out)
+    lin_up = 2 * _round_up(spec.p * spec.c, LANES)
+    if p_out * spec.c < lin_up:
+        b2 = jnp.pad(b2, ((0, 0), (0, lin_up - p_out * spec.c), (0, 0)))
+    prep["b2"] = b2
+    prep["bias"] = jnp.tile(bias_ch, (p_out,)).reshape(1, lout)
+    return prep
+
+
 @functools.partial(
     jax.jit, static_argnames=("spec", "real_c", "k", "cout", "off_out",
                               "slope", "out_dtype"),
 )
 def _conv_up_packed_impl(
     x: jnp.ndarray,
-    w: jnp.ndarray,
-    bias: jnp.ndarray,
+    prep: dict,
     spec: PackedSpec,
     real_c: int,
     k: int,
@@ -613,41 +704,14 @@ def _conv_up_packed_impl(
     assert (up_off - hh - off_out) % p_out == 0, (spec, k, off_out)
     s = (up_off - hh - off_out) // p_out
 
-    wi = w
-    if real_c < spec.c:
-        wi = jnp.pad(wi, ((0, 0), (0, 0), (0, spec.c - real_c), (0, 0)))
     lout = p_out * cout
-    bias_ch = bias.astype(jnp.float32)
-    if quant:
-        # The upsample is a convex combination, so |up(x)| <= |x| and the
-        # input's absmax calibrates the constructed rows too. Rows are
-        # quantized in-register (the 127/ax step rides the correction
-        # mask — already-int8 input is already on that grid, so the fold
-        # factor is 1); B2 is per-output-channel int8.
-        (wq,), sw = _quantize_weights([wi], (absmax,))
-        b2 = _build_b2(wq, p_out)
-        ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
-        scale_ch = ax * sw / (127.0 * 127.0)
-        if out_absmax is not None:
-            inv_out = 127.0 / jnp.maximum(
-                out_absmax.astype(jnp.float32), 1e-12
-            )
-            scale_ch = scale_ch * inv_out
-            bias_ch = bias_ch * inv_out
-        scale_lanes = jnp.tile(scale_ch, (p_out,)).reshape(1, lout)
-        if x.dtype == jnp.int8:
-            inva = jnp.ones((1, 1), jnp.float32)
-        else:
-            inva = (127.0 / ax).reshape(1, 1)
-        win_dt = jnp.int8
-    else:
-        b2 = _build_b2(wi.astype(dtype), p_out)
-        win_dt = dtype
+    b2 = prep["b2"]
+    bias_lanes = prep["bias"]
+    scale_lanes = prep.get("scale")
+    inva = prep.get("inva")
+    win_dt = jnp.int8 if quant else dtype
     lin_up = 2 * lin_half
-    if p_out * spec.c < lin_up:
-        b2 = jnp.pad(b2, ((0, 0), (0, lin_up - p_out * spec.c), (0, 0)))
     wl = _round_up(max(0, -s), 8)
-    bias_lanes = jnp.tile(bias_ch, (p_out,)).reshape(1, lout)
 
     mw = wl + m + max(0, s + q - 1)
     kernel = _kernel_body_up(
@@ -842,14 +906,59 @@ def _kernel_body_pool(
     return kernel
 
 
+def prep_conv_pool(
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    k: int,
+    cout: int,
+    absmax=None,
+    out_absmax=None,
+    dtype=jnp.bfloat16,
+    int8_input: bool = False,
+) -> dict:
+    """Weight-side constants of one fused-pool conv site (see
+    :func:`prep_conv`). ``fs`` folds 0.25 with the int8 grid step."""
+    p_out = spec.p // 2
+    lout = p_out * cout
+    quant = absmax is not None
+    wi = w
+    if real_c < spec.c:
+        wi = jnp.pad(wi, ((0, 0), (0, 0), (0, spec.c - real_c), (0, 0)))
+    bias_ch = bias.astype(jnp.float32)
+    prep = {}
+    if quant:
+        (wq,), sw = _quantize_weights([wi], (absmax,))
+        b2 = _build_b2(wq, p_out)
+        ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
+        scale_ch = ax * sw / (127.0 * 127.0)
+        if out_absmax is not None:
+            inv_out = 127.0 / jnp.maximum(
+                out_absmax.astype(jnp.float32), 1e-12
+            )
+            scale_ch = scale_ch * inv_out
+            bias_ch = bias_ch * inv_out
+        prep["scale"] = jnp.tile(scale_ch, (p_out,)).reshape(1, lout)
+        if int8_input:
+            prep["fs"] = jnp.full((1, 1), 0.25, jnp.float32)
+        else:
+            prep["fs"] = (0.25 * 127.0 / ax).reshape(1, 1)
+    else:
+        b2 = _build_b2(wi.astype(dtype), p_out)
+        prep["fs"] = jnp.full((1, 1), 0.25, jnp.float32)
+    prep["b2"] = b2
+    prep["bias"] = jnp.tile(bias_ch, (p_out,)).reshape(1, lout)
+    return prep
+
+
 @functools.partial(
     jax.jit, static_argnames=("spec", "real_c", "k", "cout", "off_out",
                               "slope", "out_dtype"),
 )
 def _conv_pool_packed_impl(
     x: jnp.ndarray,
-    w: jnp.ndarray,
-    bias: jnp.ndarray,
+    prep: dict,
     spec: PackedSpec,
     real_c: int,
     k: int,
@@ -882,34 +991,13 @@ def _conv_pool_packed_impl(
     assert (off_pool - hh - off_out) % p_out == 0, (spec, k, off_out)
     s = (off_pool - hh - off_out) // p_out
 
-    wi = w
-    if real_c < spec.c:
-        wi = jnp.pad(wi, ((0, 0), (0, 0), (0, spec.c - real_c), (0, 0)))
     lout = p_out * cout
-    bias_ch = bias.astype(jnp.float32)
-    if quant:
-        (wq,), sw = _quantize_weights([wi], (absmax,))
-        b2 = _build_b2(wq, p_out)
-        ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
-        scale_ch = ax * sw / (127.0 * 127.0)
-        if out_absmax is not None:
-            inv_out = 127.0 / jnp.maximum(
-                out_absmax.astype(jnp.float32), 1e-12
-            )
-            scale_ch = scale_ch * inv_out
-            bias_ch = bias_ch * inv_out
-        scale_lanes = jnp.tile(scale_ch, (p_out,)).reshape(1, lout)
-        if x.dtype == jnp.int8:
-            fs = jnp.full((1, 1), 0.25, jnp.float32)
-        else:
-            fs = (0.25 * 127.0 / ax).reshape(1, 1)
-        win_dt = jnp.int8
-    else:
-        b2 = _build_b2(wi.astype(dtype), p_out)
-        fs = jnp.full((1, 1), 0.25, jnp.float32)
-        win_dt = dtype
+    b2 = prep["b2"]
+    bias_lanes = prep["bias"]
+    scale_lanes = prep.get("scale")
+    fs = prep["fs"]
+    win_dt = jnp.int8 if quant else dtype
     wl = _round_up(max(0, -s), 8)
-    bias_lanes = jnp.tile(bias_ch, (p_out,)).reshape(1, lout)
 
     mw = wl + m + max(0, s + q - 1) + d  # +d: the boundary pair's shift
     kernel = _kernel_body_pool(
@@ -990,6 +1078,8 @@ def conv_pool_packed(
     in_absmax: Optional[jnp.ndarray] = None,
     out_absmax: Optional[jnp.ndarray] = None,
     out_dtype=None,
+    prepared: Optional[dict] = None,
+    collect=None,
 ) -> Tuple[jnp.ndarray, PackedSpec]:
     """Fused 2x-avg-pool + conv2d(stride 1, SAME) + bias + LReLU.
 
@@ -1011,33 +1101,41 @@ def conv_pool_packed(
     out_spec = PackedSpec(
         p=spec.p // 2, c=cout, w=spec.w // 2, off=off_out, m=spec.m
     )
+    if prepared is None:
+        prepared = prep_conv_pool(
+            w, bias, spec, real_c, k, cout, in_absmax, out_absmax,
+            dtype=out_dtype or (jnp.bfloat16 if xp.dtype == jnp.int8
+                                else xp.dtype),
+            int8_input=xp.dtype == jnp.int8,
+        )
+    if collect is not None:
+        collect[0][collect[1]] = prepared
     if _FORCE_KERNEL:  # interpret-mode tests on CPU
         y = _conv_pool_packed_impl(
-            xp, w if in_absmax is not None else w.astype(xp.dtype), bias,
-            spec, real_c, k, cout, off_out, slope, in_absmax, out_absmax,
-            out_dtype,
+            xp, prepared, spec, real_c, k, cout, off_out, slope,
+            in_absmax, out_absmax, out_dtype,
         )
         return y, out_spec
     if in_absmax is None:
         y = jax.lax.platform_dependent(
-            xp, w, bias,
-            tpu=lambda a, ww, bb: _conv_pool_packed_impl(
-                a, ww.astype(a.dtype), bb, spec, real_c, k, cout, off_out,
+            xp, prepared, w, bias,
+            tpu=lambda a, pr, ww, bb: _conv_pool_packed_impl(
+                a, pr, spec, real_c, k, cout, off_out,
                 slope, out_dtype=out_dtype,
             ),
-            default=lambda a, ww, bb: _conv_pool_packed_xla(
+            default=lambda a, pr, ww, bb: _conv_pool_packed_xla(
                 a, ww, bb, spec, real_c, off_out, slope, out_dtype=out_dtype
             ),
         )
     else:
         oam = (out_absmax,) if out_absmax is not None else ()
         y = jax.lax.platform_dependent(
-            xp, w, bias, in_absmax, *oam,
-            tpu=lambda a, ww, bb, am, *oa: _conv_pool_packed_impl(
-                a, ww, bb, spec, real_c, k, cout, off_out,
+            xp, prepared, w, bias, in_absmax, *oam,
+            tpu=lambda a, pr, ww, bb, am, *oa: _conv_pool_packed_impl(
+                a, pr, spec, real_c, k, cout, off_out,
                 slope, am, oa[0] if oa else None, out_dtype,
             ),
-            default=lambda a, ww, bb, am, *oa: _conv_pool_packed_xla(
+            default=lambda a, pr, ww, bb, am, *oa: _conv_pool_packed_xla(
                 a, ww, bb, spec, real_c, off_out, slope, am,
                 oa[0] if oa else None, out_dtype,
             ),
@@ -1107,6 +1205,8 @@ def conv_up_packed(
     in_absmax: Optional[jnp.ndarray] = None,
     out_absmax: Optional[jnp.ndarray] = None,
     out_dtype=None,
+    prepared: Optional[dict] = None,
+    collect=None,
 ) -> Tuple[jnp.ndarray, PackedSpec]:
     """Fused 2x-bilinear-upsample + conv2d(stride 1, SAME) + bias + LReLU.
 
@@ -1131,33 +1231,41 @@ def conv_up_packed(
     out_spec = PackedSpec(
         p=2 * spec.p, c=cout, w=2 * spec.w, off=off_out, m=spec.m
     )
+    if prepared is None:
+        prepared = prep_conv_up(
+            w, bias, spec, real_c, k, cout, in_absmax, out_absmax,
+            dtype=out_dtype or (jnp.bfloat16 if xp.dtype == jnp.int8
+                                else xp.dtype),
+            int8_input=xp.dtype == jnp.int8,
+        )
+    if collect is not None:
+        collect[0][collect[1]] = prepared
     if _FORCE_KERNEL:  # interpret-mode tests on CPU
         y = _conv_up_packed_impl(
-            xp, w if in_absmax is not None else w.astype(xp.dtype), bias,
-            spec, real_c, k, cout, off_out, slope, in_absmax, out_absmax,
-            out_dtype,
+            xp, prepared, spec, real_c, k, cout, off_out, slope,
+            in_absmax, out_absmax, out_dtype,
         )
         return y, out_spec
     if in_absmax is None:
         y = jax.lax.platform_dependent(
-            xp, w, bias,
-            tpu=lambda a, ww, bb: _conv_up_packed_impl(
-                a, ww.astype(a.dtype), bb, spec, real_c, k, cout, off_out,
+            xp, prepared, w, bias,
+            tpu=lambda a, pr, ww, bb: _conv_up_packed_impl(
+                a, pr, spec, real_c, k, cout, off_out,
                 slope, out_dtype=out_dtype,
             ),
-            default=lambda a, ww, bb: _conv_up_packed_xla(
+            default=lambda a, pr, ww, bb: _conv_up_packed_xla(
                 a, ww, bb, spec, real_c, off_out, slope, out_dtype=out_dtype
             ),
         )
     else:
         oam = (out_absmax,) if out_absmax is not None else ()
         y = jax.lax.platform_dependent(
-            xp, w, bias, in_absmax, *oam,
-            tpu=lambda a, ww, bb, am, *oa: _conv_up_packed_impl(
-                a, ww, bb, spec, real_c, k, cout, off_out,
+            xp, prepared, w, bias, in_absmax, *oam,
+            tpu=lambda a, pr, ww, bb, am, *oa: _conv_up_packed_impl(
+                a, pr, spec, real_c, k, cout, off_out,
                 slope, am, oa[0] if oa else None, out_dtype,
             ),
-            default=lambda a, ww, bb, am, *oa: _conv_up_packed_xla(
+            default=lambda a, pr, ww, bb, am, *oa: _conv_up_packed_xla(
                 a, ww, bb, spec, real_c, off_out, slope, am,
                 oa[0] if oa else None, out_dtype,
             ),
@@ -1238,6 +1346,8 @@ def conv_packed(
     in_absmax: Optional[Tuple[jnp.ndarray, ...]] = None,
     out_absmax: Optional[jnp.ndarray] = None,
     out_dtype=None,
+    prepared: Optional[dict] = None,
+    collect=None,
 ) -> Tuple[jnp.ndarray, PackedSpec]:
     """Packed-in/packed-out conv2d(stride 1, SAME) + bias + LeakyReLU.
 
@@ -1262,6 +1372,11 @@ def conv_packed(
 
     ``out_dtype``: output dtype when inputs are int8 but the output is not
     quantized (e.g. the last carried conv before an unquantized head).
+
+    ``prepared``: weight-side constants from :func:`prep_conv` for this
+    exact site — skips rebuilding B2/bias/scales inside the jitted frame.
+    ``collect``: a ``(store, key)`` pair; the site's prep is computed and
+    recorded in ``store[key]`` (the prepare-once collection pass).
     """
     k = w.shape[0]
     xs, specs, real_cs = zip(*[
@@ -1276,21 +1391,28 @@ def conv_packed(
         p=specs[0].p, c=cout, w=specs[0].w, off=off_out, m=specs[0].m
     )
     amax = tuple(in_absmax) if in_absmax is not None else None
+    if prepared is None:
+        fdt = [x.dtype for x in xs if x.dtype != jnp.int8]
+        prepared = prep_conv(
+            w, bias, specs, real_cs, k, cout, amax, out_absmax,
+            dtype=out_dtype or (fdt[0] if fdt else jnp.bfloat16),
+        )
+    if collect is not None:
+        collect[0][collect[1]] = prepared
     if _FORCE_KERNEL:  # interpret-mode tests on CPU
         y = _conv_packed_impl(
-            xs, w if amax is not None else w.astype(xs[0].dtype), bias,
-            specs, real_cs, k, cout, off_out, slope, amax, out_absmax,
-            out_dtype,
+            xs, prepared, specs, real_cs, k, cout, off_out, slope, amax,
+            out_absmax, out_dtype,
         )
         return y, out_spec
     if amax is None:
         y = jax.lax.platform_dependent(
-            xs, w, bias,
-            tpu=lambda a, ww, bb: _conv_packed_impl(
-                a, ww.astype(a[0].dtype), bb, specs, real_cs, k, cout,
+            xs, prepared, w, bias,
+            tpu=lambda a, pr, ww, bb: _conv_packed_impl(
+                a, pr, specs, real_cs, k, cout,
                 off_out, slope, out_dtype=out_dtype,
             ),
-            default=lambda a, ww, bb: _conv_packed_xla(
+            default=lambda a, pr, ww, bb: _conv_packed_xla(
                 a, ww, bb, specs, real_cs, off_out, slope,
                 out_dtype=out_dtype,
             ),
@@ -1298,12 +1420,12 @@ def conv_packed(
     else:
         oam = (out_absmax,) if out_absmax is not None else ()
         y = jax.lax.platform_dependent(
-            xs, w, bias, amax, *oam,
-            tpu=lambda a, ww, bb, am, *oa: _conv_packed_impl(
-                a, ww, bb, specs, real_cs, k, cout,
+            xs, prepared, w, bias, amax, *oam,
+            tpu=lambda a, pr, ww, bb, am, *oa: _conv_packed_impl(
+                a, pr, specs, real_cs, k, cout,
                 off_out, slope, tuple(am), oa[0] if oa else None, out_dtype,
             ),
-            default=lambda a, ww, bb, am, *oa: _conv_packed_xla(
+            default=lambda a, pr, ww, bb, am, *oa: _conv_packed_xla(
                 a, ww, bb, specs, real_cs, off_out, slope, tuple(am),
                 oa[0] if oa else None, out_dtype,
             ),

@@ -60,6 +60,7 @@ def device_step(
     pad_hw: Any = None,
     packed: Optional[bool] = None,
     quant_stats: Optional[Dict[str, Any]] = None,
+    packed_params: Any = None,
 ) -> jnp.ndarray:
     """One fused device step: (B, 2, H, W, 3) uint8 -> (B, 2^exp - 1, H, W, 3) uint8.
 
@@ -86,6 +87,7 @@ def device_step(
         use_pallas=use_pallas,
         packed=use_pallas if packed is None else packed,
         quant_stats=quant_stats,
+        packed_params=packed_params,
     )
 
     if mode == "direct" or exp == 1:
@@ -230,6 +232,7 @@ class Interpolator:
         self.int8 = int8
         self.int8_margin = int8_margin
         self._quant_stats: Optional[Dict[str, Any]] = None
+        self._packed_params: Dict[Any, Any] = {}
         self.params = params
         self.cfg = cfg
         self.exp = exp
@@ -296,6 +299,22 @@ class Interpolator:
                 ),
                 self.int8_margin,
             )
+        # Prepare-once: collect the packed kernels' weight-side constants
+        # for this resolution so per-frame steps skip rebuilding them.
+        use_pp = self.use_pallas if self.packed is None else self.packed
+        hw_key = (h + pad_hw[0], w + pad_hw[1])
+        prep = self._packed_params.get(hw_key)
+        if (prep is None and use_pp and self.mesh is None
+                and self._packed_params.get(hw_key, "miss") == "miss"):
+            from rrin_tpu.models.rrin import prepare_packed_params
+            from rrin_tpu.models.unet import packed_supported
+
+            if packed_supported(hw_key[0], hw_key[1], self.cfg):
+                prep = prepare_packed_params(
+                    self.params, self.cfg, self.compute_dtype,
+                    quant_stats=self._quant_stats, hw=hw_key,
+                )
+            self._packed_params[hw_key] = prep  # None = unsupported
         if self.mesh is not None:
             from rrin_tpu.parallel.sharding import shard_pairs
 
@@ -317,6 +336,7 @@ class Interpolator:
             pad_hw=pad_hw,
             packed=self.packed,
             quant_stats=self._quant_stats,
+            packed_params=prep,
         )
 
 

@@ -182,3 +182,55 @@ class TestInt8Tools:
                                   compute_dtype="float32", int8=True)
             out = np.asarray(interp.step(pairs))
             assert out.shape == (1, 3, 48, 64, 3) and out.dtype == np.uint8
+
+
+class TestPreparedParams:
+    def test_prepared_matches_inline(self, rng):
+        """forward with prepare-once packed_params == forward without, in
+        both float and int8 modes (the prep arrays are the SAME values the
+        per-frame graph would rebuild)."""
+        from rrin_tpu.models.rrin import prepare_packed_params
+
+        params = init_params(jax.random.key(0), CFG)
+        i0 = jnp.asarray(rng.random((1, 192, 64, 3), dtype=np.float32))
+        i1 = jnp.asarray(rng.random((1, 192, 64, 3), dtype=np.float32))
+        want = np.asarray(forward(params, i0, i1, 0.5, cfg=CFG, packed=True))
+        pp = prepare_packed_params(params, CFG, jnp.float32, hw=(192, 64))
+        got = np.asarray(forward(params, i0, i1, 0.5, cfg=CFG, packed=True,
+                                 packed_params=pp))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+        _, stats = forward_calibrate(params, i0, i1, 0.5, cfg=CFG)
+        stats = scale_quant_stats(stats, 1.2)
+        want_q = np.asarray(forward(params, i0, i1, 0.5, cfg=CFG,
+                                    packed=True, quant_stats=stats))
+        ppq = prepare_packed_params(params, CFG, jnp.float32,
+                                    quant_stats=stats, hw=(192, 64))
+        got_q = np.asarray(forward(params, i0, i1, 0.5, cfg=CFG,
+                                   packed=True, quant_stats=stats,
+                                   packed_params=ppq))
+        np.testing.assert_allclose(got_q, want_q, atol=1e-6)
+
+    def test_branch_mismatch_rejected(self, rng):
+        from rrin_tpu.models.rrin import prepare_packed_params
+
+        params = init_params(jax.random.key(0), CFG)
+        pp = prepare_packed_params(params, CFG, jnp.float32, hw=(192, 64))
+        i0 = jnp.zeros((1, 48, 64, 3), jnp.float32)  # l2/l3 branches off
+        with pytest.raises(ValueError, match="prepared for shape"):
+            forward(params, i0, i0, 0.5, cfg=CFG, packed=True,
+                    packed_params=pp)
+
+    def test_interpolator_prepares_once(self, rng):
+        from rrin_tpu.pipeline import Interpolator
+
+        params = init_params(jax.random.key(0), CFG)
+        pairs = rng.integers(0, 256, (1, 2, 192, 64, 3), dtype=np.uint8)
+        interp = Interpolator(params, CFG, compute_dtype="float32",
+                              int8=True)
+        out1 = np.asarray(interp.step(pairs))
+        assert interp._packed_params  # collected on first step
+        prep = next(iter(interp._packed_params.values()))
+        assert prep is not None
+        out2 = np.asarray(interp.step(pairs))
+        np.testing.assert_array_equal(out1, out2)
