@@ -299,7 +299,7 @@ def prepare_packed_params(
     cfg: ModelConfig = ModelConfig(),
     compute_dtype: jnp.dtype = jnp.bfloat16,
     quant_stats=None,
-    hw: tuple = (192, 64),
+    hw: tuple = (320, 64),
 ) -> "PackedParams":
     """Collect every packed-conv site's weight-side kernel constants
     (B2 blocks, lane-tiled bias, folded int8 scales) — the prepare-once

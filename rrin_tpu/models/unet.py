@@ -253,19 +253,20 @@ def _packed_m0(w: int) -> int:
 
 
 def packed_branch_flags(h: int, w: int, cfg: ModelConfig):
-    """(l2_kernel, l3_kernel, fuse_d1, fuse_d2) — the static branch
-    configuration of unet_apply_packed at this shape. Weight-side prep
-    (models/rrin.prepare_packed_params) is only valid across shapes with
-    IDENTICAL flags (they decide which sites carry int8 and whether the
-    fused pool kernels see int8 input)."""
-    from rrin_tpu.ops.conv_packed import min_h, supports_pool
+    """The static branch configuration of unet_apply_packed at this shape:
+    (l2_kernel, l3_kernel, fuse_d1, fuse_d2, fuse_u3, fuse_u4, l4_kernel).
+    Weight-side prep (models/rrin.prepare_packed_params) is only valid
+    across shapes with IDENTICAL flags — they decide which sites exist,
+    which carry int8, and which prep FORMAT (conv vs fused up/pool) a
+    site's constants use."""
+    from rrin_tpu.ops.conv_packed import min_h, supports_pool, supports_up
     from rrin_tpu.ops.packed import PackedSpec
 
     m0 = _packed_m0(w)
     l2_kernel = (h // 4) % 8 == 0 and h // 4 >= min_h(3)
     l3_kernel = (h // 8) % 8 == 0 and h // 8 >= min_h(3)
     k_d = cfg.down_kernels
-    w1c, w2c, w3c = cfg.widths[0], cfg.widths[1], cfg.widths[2]
+    w1c, w2c, w3c, w4c, w5c = cfg.widths
     fuse_d1 = supports_pool(
         PackedSpec(p=4, c=w1c, w=w, off=_PK["c2"], m=m0), k_d[0], w2c, h
     )
@@ -273,7 +274,26 @@ def packed_branch_flags(h: int, w: int, cfg: ModelConfig):
         PackedSpec(p=2, c=w2c, w=w // 2, off=_PK["d1c2"], m=m0),
         k_d[1], w3c, h // 2,
     )
-    return l2_kernel, l3_kernel, fuse_d1, fuse_d2
+    # Fused-upsample routing at u3c1/u4c1 (their input specs are fixed by
+    # the offset plan; the conv_up prep format differs from conv prep).
+    fuse_u3 = supports_up(
+        PackedSpec(p=1, c=w3c, w=w // 4, off=_PK["u2c2"], m=m0),
+        3, w2c, 2 * (h // 4),
+    )
+    fuse_u4 = supports_up(
+        PackedSpec(p=2, c=w2c, w=w // 2, off=_PK["u3c2"], m=m0),
+        3, w1c, 2 * (h // 2),
+    )
+    # Level-4 packed-kernel branch (inside l3): H/16 padded to /8 must fit
+    # the conv window (models/unet.unet_apply_packed level-4 block).
+    k4 = k_d[3]
+    hp4 = -(-(h // 16) // 8) * 8
+    l4_kernel = (
+        l3_kernel and hp4 >= min_h(k4) and k4 % 2 == 1
+        and max(w4c, w5c) <= 4 * 128
+    )
+    return (l2_kernel, l3_kernel, fuse_d1, fuse_d2, fuse_u3, fuse_u4,
+            l4_kernel)
 
 
 def unet_apply_packed(
@@ -324,7 +344,8 @@ def unet_apply_packed(
     m0 = _packed_m0(w)
     # Levels 2 and 3 run the P=1 kernel only when their H is still
     # kernel-shaped; otherwise those convs stay plain XLA (same math).
-    l2_kernel, l3_kernel, fuse_d1, fuse_d2 = packed_branch_flags(h, w, cfg)
+    (l2_kernel, l3_kernel, fuse_d1, fuse_d2, _fu3, _fu4,
+     _l4) = packed_branch_flags(h, w, cfg)
     m3 = -(-(w // 8) // 8) * 8
 
     dt = x.dtype
@@ -414,6 +435,9 @@ def unet_apply_packed(
         return avg_pool_2x_packed(t, ts)
 
     def pool_n(t):
+        # Inputs (s3n, s4n) come from non-carried sites, so the int8
+        # branch is defensive only — kept for symmetry with up_n, whose
+        # int8 inputs (unpacked d4c2/u1c2 tensors) are real.
         if t.dtype == jnp.int8:
             return _rq(avg_pool_2x(t.astype(jnp.float32)))
         return avg_pool_2x(t)

@@ -381,7 +381,9 @@ def _conv_packed_impl(
         )
         win_dt = jnp.int8
     else:
-        win_dt = dtype
+        # The window scratch is the DMA destination of the INPUT arrays;
+        # out_dtype only affects the epilogue cast.
+        win_dt = in_f[0].dtype if in_f else jnp.bfloat16
 
     fuse_dy = _fuse_dy(k, lout)
     kernel = _kernel_body(
@@ -1393,9 +1395,11 @@ def conv_packed(
     amax = tuple(in_absmax) if in_absmax is not None else None
     if prepared is None:
         fdt = [x.dtype for x in xs if x.dtype != jnp.int8]
+        # B2 dtype matches the contraction (= input) dtype; out_dtype is
+        # an epilogue cast only.
         prepared = prep_conv(
             w, bias, specs, real_cs, k, cout, amax, out_absmax,
-            dtype=out_dtype or (fdt[0] if fdt else jnp.bfloat16),
+            dtype=fdt[0] if fdt else jnp.bfloat16,
         )
     if collect is not None:
         collect[0][collect[1]] = prepared

@@ -303,18 +303,18 @@ class Interpolator:
         # for this resolution so per-frame steps skip rebuilding them.
         use_pp = self.use_pallas if self.packed is None else self.packed
         hw_key = (h + pad_hw[0], w + pad_hw[1])
-        prep = self._packed_params.get(hw_key)
-        if (prep is None and use_pp and self.mesh is None
-                and self._packed_params.get(hw_key, "miss") == "miss"):
+        if use_pp and self.mesh is None and hw_key not in self._packed_params:
             from rrin_tpu.models.rrin import prepare_packed_params
             from rrin_tpu.models.unet import packed_supported
 
+            prep = None
             if packed_supported(hw_key[0], hw_key[1], self.cfg):
                 prep = prepare_packed_params(
                     self.params, self.cfg, self.compute_dtype,
                     quant_stats=self._quant_stats, hw=hw_key,
                 )
             self._packed_params[hw_key] = prep  # None = unsupported
+        prep = self._packed_params.get(hw_key)
         if self.mesh is not None:
             from rrin_tpu.parallel.sharding import shard_pairs
 
