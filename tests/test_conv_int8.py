@@ -265,3 +265,28 @@ class TestCarriedInt8:
         assert np.asarray(gq).dtype == np.int8
         assert (np.abs(np.asarray(gq, np.int32)
                        - np.asarray(wq, np.int32)) <= 1).all()
+
+
+class TestOutDtype:
+    def test_out_dtype_epilogue_cast_only(self, rng):
+        """out_dtype != input dtype: the window/B2 stay in the input
+        dtype (the DMA source dtype) and only the epilogue casts."""
+        h, m, p, k = 32, 16, 2, 3
+        x = jnp.asarray(rng.random((1, h, 28, 32), dtype=np.float32),
+                        jnp.bfloat16)
+        xp, spec = pack(x, p=p, off=1, m=m)
+        wgt = jnp.asarray((rng.random((k, k, 32, 16), dtype=np.float32) - 0.5))
+        bias = jnp.asarray(rng.random(16, dtype=np.float32))
+        cpk._FORCE_KERNEL = True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got, _ = conv_packed([(xp, spec, 32)], wgt, bias, 0, 0.1,
+                                     out_dtype=jnp.float32)
+                ref, _ = conv_packed([(xp, spec, 32)], wgt, bias, 0, 0.1)
+        finally:
+            cpk._FORCE_KERNEL = False
+        assert np.asarray(got).dtype == np.float32
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref, np.float32), atol=1e-2,
+            rtol=1e-2,
+        )

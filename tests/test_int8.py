@@ -234,3 +234,21 @@ class TestPreparedParams:
         assert prep is not None
         out2 = np.asarray(interp.step(pairs))
         np.testing.assert_array_equal(out1, out2)
+
+    def test_branch_mismatch_same_coarse_flags(self, rng):
+        """hw=(80,64) vs 48x64 share (l2,l3,fuse_d1,fuse_d2) but differ
+        in the fused-upsample routing at u3c1 — the guard must catch it
+        (a stale prep would be in the wrong format)."""
+        from rrin_tpu.models.rrin import prepare_packed_params
+        from rrin_tpu.models.unet import packed_branch_flags
+
+        assert (packed_branch_flags(80, 64, CFG)[:4]
+                == packed_branch_flags(48, 64, CFG)[:4])
+        assert (packed_branch_flags(80, 64, CFG)
+                != packed_branch_flags(48, 64, CFG))
+        params = init_params(jax.random.key(0), CFG)
+        pp = prepare_packed_params(params, CFG, jnp.float32, hw=(80, 64))
+        i0 = jnp.zeros((1, 48, 64, 3), jnp.float32)
+        with pytest.raises(ValueError, match="prepared for shape"):
+            forward(params, i0, i0, 0.5, cfg=CFG, packed=True,
+                    packed_params=pp)
