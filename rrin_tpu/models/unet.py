@@ -264,7 +264,11 @@ def packed_branch_flags(h: int, w: int, cfg: ModelConfig):
 
     m0 = _packed_m0(w)
     l2_kernel = (h // 4) % 8 == 0 and h // 4 >= min_h(3)
-    l3_kernel = (h // 8) % 8 == 0 and h // 8 >= min_h(3)
+    # Level 3 pads its H to a multiple of 8 in-path (SAME zero-pad
+    # semantics make the pad exact with re-zeroing between convs), so the
+    # gate is only that the PADDED height fits the kernel window — this is
+    # what keeps 720p-class heights (h % 64 != 0) on the packed path.
+    l3_kernel = -(-(h // 8) // 8) * 8 >= min_h(3)
     k_d = cfg.down_kernels
     w1c, w2c, w3c, w4c, w5c = cfg.widths
     fuse_d1 = supports_pool(
@@ -479,15 +483,32 @@ def unet_apply_packed(
         s3n = _conv_act(xn, p["down2"]["conv2"], s)
         s3, s3s = pack(s3n, 1, _PK["l2"], m0)
 
-    # Level 3 (C=256): P=1 kernel when kernel-shaped, else plain.
+    # Level 3 (C=256): P=1 kernel with H padded to a multiple of 8
+    # (exact SAME semantics: pad rows are re-zeroed after each conv so the
+    # true bottom edge always sees zero padding), else plain.
+    h3 = h // 8
+    hp3 = -(-h3 // 8) * 8
+
+    def _rz3(t):
+        """Re-zero the H-pad rows a conv's bias+LReLU polluted."""
+        if hp3 > h3:
+            return jnp.concatenate(
+                [t[:, :h3], jnp.zeros_like(t[:, h3:])], axis=1
+            )
+        return t
+
     if l3_kernel:
         x3 = pool_n(s3n)
+        if hp3 > h3:
+            x3 = jnp.pad(x3, ((0, 0), (0, hp3 - h3), (0, 0), (0, 0)))
         t3, t3s = pack(x3, 1, 0, m3)
         t3, t3s = conv([(t3, t3s, 128)], p["down3"]["conv1"], 0,
                        site="d3c1")
+        t3 = _rz3(t3)
         s4p, s4s = conv([(t3, t3s, 256)], p["down3"]["conv2"], 0,
                         site="d3c2")
-        s4n = unpack(s4p, s4s)
+        s4p = _rz3(s4p)
+        s4n = unpack(s4p, s4s)[:, :h3]
         # Level 4 (C=512, H/16): P=1 packed kernel with H padded to a
         # multiple of 8 (SAME zero-pad semantics make the pad exact) —
         # XLA ran these convs in a T(2,128) layout with an unfused
@@ -518,14 +539,17 @@ def unet_apply_packed(
             xn = _conv_act(x4, p["down4"]["conv1"], s)
             xn = _conv_act(xn, p["down4"]["conv2"], s)
         xu3 = up_n(xn)
+        if hp3 > h3:
+            xu3 = jnp.pad(xu3, ((0, 0), (0, hp3 - h3), (0, 0), (0, 0)))
         t3, t3s = pack(xu3, 1, 0, m3)
         t3, t3s = conv([(t3, t3s, 512)], p["up1"]["conv1"], 0,
                        site="u1c1")
+        t3 = _rz3(t3)
         t3, t3s = conv(
             [(t3, t3s, 256), (s4p, s4s, 256)], p["up1"]["conv2"], 0,
             site="u1c2",
         )
-        xn = unpack(t3, t3s)
+        xn = unpack(t3, t3s)[:, :h3]
     else:
         s4 = _down(s3n, p["down3"], s)
         xn = _down(s4, p["down4"], s)

@@ -57,7 +57,7 @@ class TestUnetStats:
             float(stats["in"]), float(jnp.max(jnp.abs(x))), rtol=1e-6
         )
 
-    @pytest.mark.parametrize("h", [48, 96, 192])  # plain / l2 / l3 branches
+    @pytest.mark.parametrize("h", [48, 96, 160, 192])  # plain / l2 / l3-padded / l3
     def test_unet_int8_quality(self, rng, h):
         p = unet_init(jax.random.key(1), 6, 4, CFG)
         x = jnp.asarray(rng.random((1, h, 64, 6), dtype=np.float32)) - 0.5
