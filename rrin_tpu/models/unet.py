@@ -263,11 +263,11 @@ def packed_branch_flags(h: int, w: int, cfg: ModelConfig):
     from rrin_tpu.ops.packed import PackedSpec
 
     m0 = _packed_m0(w)
-    l2_kernel = (h // 4) % 8 == 0 and h // 4 >= min_h(3)
-    # Level 3 pads its H to a multiple of 8 in-path (SAME zero-pad
+    # Levels 2 and 3 pad their H to a multiple of 8 in-path (SAME zero-pad
     # semantics make the pad exact with re-zeroing between convs), so the
     # gate is only that the PADDED height fits the kernel window — this is
-    # what keeps 720p-class heights (h % 64 != 0) on the packed path.
+    # what keeps 720p/360p-class heights (h % 64 != 0) on the packed path.
+    l2_kernel = -(-(h // 4) // 8) * 8 >= min_h(3)
     l3_kernel = -(-(h // 8) // 8) * 8 >= min_h(3)
     k_d = cfg.down_kernels
     w1c, w2c, w3c, w4c, w5c = cfg.widths
@@ -465,17 +465,32 @@ def unet_apply_packed(
     s2, s2s = conv([(t, ts, 64)], p["down1"]["conv2"], _PK["d1c2"],
                    site="d1c2")
 
+    h2 = h // 4
+    hp2 = -(-h2 // 8) * 8
+
+    def _rz2(t):
+        """Re-zero the level-2 H-pad rows a conv's bias+LReLU polluted."""
+        if hp2 > h2:
+            return jnp.concatenate(
+                [t[:, :h2], jnp.zeros_like(t[:, h2:])], axis=1
+            )
+        return t
+
     if l2_kernel:
-        if fuse_d2:
+        if fuse_d2:  # aligned-only (the fused pool emits unpadded H)
             t, ts = conv_pool(s2, s2s, 64, p["down2"]["conv1"],
                               _PK["d2c1"], "d2c1")
         else:
             t, ts = pool_p(s2, s2s)
+            if hp2 > h2:
+                t = jnp.pad(t, ((0, 0), (0, hp2 - h2), (0, 0), (0, 0)))
             t, ts = conv([(t, ts, 64)], p["down2"]["conv1"], _PK["d2c1"],
                          site="d2c1")
+            t = _rz2(t)
         s3, s3s = conv([(t, ts, 128)], p["down2"]["conv2"], _PK["d2c2"],
                        site="d2c2")
-        s3n = unpack(s3, s3s)
+        s3 = _rz2(s3)
+        s3n = unpack(s3, s3s)[:, :h2]
     else:
         t, ts = pool_p(s2, s2s)  # level 2, P=1, off 0
         xn = unpack(t, ts)
@@ -558,13 +573,17 @@ def unet_apply_packed(
     # up2 (level 2): plain upsample, then packed convs with fused concat.
     xu = up_n(xn)
     if l2_kernel:
+        if hp2 > h2:
+            xu = jnp.pad(xu, ((0, 0), (0, hp2 - h2), (0, 0), (0, 0)))
         t, ts = pack(xu, 1, _PK["l2"], m0)
         t, ts = conv([(t, ts, 256)], p["up2"]["conv1"], _PK["u2c1"],
                      site="u2c1")
+        t = _rz2(t)
         t, ts = conv(
             [(t, ts, 128), (s3, s3s, 128)], p["up2"]["conv2"],
             _PK["u2c2"], site="u2c2",
         )
+        t = t[:, :h2]  # back to the true level-2 height for u3c1
     else:
         xn = _conv_act(xu, p["up2"]["conv1"], s)
         xn = _conv_act(

@@ -236,19 +236,19 @@ class TestPreparedParams:
         np.testing.assert_array_equal(out1, out2)
 
     def test_branch_mismatch_same_coarse_flags(self, rng):
-        """hw=(80,64) vs 48x64 share (l2,l3,fuse_d1,fuse_d2) but differ
-        in the fused-upsample routing at u3c1 — the guard must catch it
-        (a stale prep would be in the wrong format)."""
+        """hw=(320,64) vs 256x64 share every flag except the level-4
+        kernel condition — the guard must still catch it (a stale prep
+        would silently miss the d4 constants or carry wrong roles)."""
         from rrin_tpu.models.rrin import prepare_packed_params
         from rrin_tpu.models.unet import packed_branch_flags
 
-        assert (packed_branch_flags(80, 64, CFG)[:4]
-                == packed_branch_flags(48, 64, CFG)[:4])
-        assert (packed_branch_flags(80, 64, CFG)
-                != packed_branch_flags(48, 64, CFG))
+        assert (packed_branch_flags(320, 64, CFG)[:6]
+                == packed_branch_flags(256, 64, CFG)[:6])
+        assert (packed_branch_flags(320, 64, CFG)
+                != packed_branch_flags(256, 64, CFG))
         params = init_params(jax.random.key(0), CFG)
-        pp = prepare_packed_params(params, CFG, jnp.float32, hw=(80, 64))
-        i0 = jnp.zeros((1, 48, 64, 3), jnp.float32)
+        pp = prepare_packed_params(params, CFG, jnp.float32, hw=(320, 64))
+        i0 = jnp.zeros((1, 256, 64, 3), jnp.float32)
         with pytest.raises(ValueError, match="prepared for shape"):
             forward(params, i0, i0, 0.5, cfg=CFG, packed=True,
                     packed_params=pp)

@@ -57,6 +57,15 @@ class TestPackedUnet:
         got = np.asarray(unet_apply_packed(p, x, CFG))
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
+    def test_xla_fallback_level2_padded_height(self, rng):
+        """h=112: level-2 H (28) is not 8-aligned — the in-path H pad +
+        re-zero at level 2 must keep exact SAME semantics (360p-class)."""
+        p = unet_init(jax.random.key(5), 6, 4, CFG)
+        x = jnp.asarray(rng.random((1, 112, 64, 6), dtype=np.float32))
+        want = np.asarray(unet_apply(p, x, CFG))
+        got = np.asarray(unet_apply_packed(p, x, CFG))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
     def test_xla_fallback_level3_padded_height(self, rng):
         """h=160: level-3 H (20) is not 8-aligned — the in-path H pad +
         re-zero must keep exact SAME semantics (the 720p-class case)."""
