@@ -33,6 +33,8 @@ from rrin_tpu.models.rrin import (
     forward_calibrate,
     init_params,
     merge_quant_stats,
+    prepare_packed_params,
+    scale_quant_stats,
 )
 
 __version__ = "0.1.0"
@@ -44,5 +46,7 @@ __all__ = [
     "forward",
     "forward_calibrate",
     "merge_quant_stats",
+    "scale_quant_stats",
+    "prepare_packed_params",
     "__version__",
 ]

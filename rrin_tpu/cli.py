@@ -62,6 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="safety factor on the calibrated int8 activation "
                    "ranges (guards later frames exceeding the first "
                    "batch's ranges)")
+    p.add_argument("--calib", default=None, metavar="NPZ",
+                   help="with --int8: load persisted calibration ranges "
+                   "(from --save-calib) instead of calibrating on the "
+                   "first batch — skips the calibration pass + compile")
+    p.add_argument("--save-calib", default=None, metavar="NPZ",
+                   help="with --int8: persist the calibrated (margin-"
+                   "scaled) activation ranges for later --calib runs")
     p.add_argument("--no-pallas", action="store_true",
                    help="use the pure-XLA warp instead of the Pallas kernel")
     p.add_argument("--fps", type=float, default=None,
@@ -154,6 +161,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         int8=args.int8,
         int8_margin=args.int8_margin,
     )
+    if args.calib:
+        from rrin_tpu.params import load_calibration
+
+        common["quant_stats"] = load_calibration(args.calib)
+    if args.save_calib:
+        common["save_calib"] = args.save_calib
     with profile_cm:
         if args.segment_pairs > 0:
             import json

@@ -107,13 +107,17 @@ def evaluate(
     cfg=None,
     int8: bool = False,
     int8_margin: float = 1.2,
+    quant_stats: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """PSNR/SSIM of predicted middle frames over a triplet set.
 
     Batches same-resolution triplets onto the device; one jit per
     resolution. ``int8`` calibrates activation ranges on the first batch
-    and scores the carried-int8 packed path — the eval-side quality gate
-    for the ``--int8`` inference mode. Returns a structured report dict.
+    OF EACH RESOLUTION GROUP (mixed-resolution sets never reuse ranges
+    calibrated at a different shape) and scores the carried-int8 packed
+    path — the eval-side quality gate for the ``--int8`` inference mode.
+    ``quant_stats`` (persisted calibration, params.load_calibration) skips
+    the calibration passes. Returns a structured report dict.
     """
     import jax.numpy as jnp
 
@@ -128,7 +132,7 @@ def evaluate(
 
     cfg = cfg or ModelConfig()
     cd = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[compute_dtype]
-    quant_stats = None
+    preset_stats = quant_stats  # resolution-independent persisted ranges
 
     psnrs: List[float] = []
     ssims: List[float] = []
@@ -144,6 +148,7 @@ def evaluate(
         by_res.setdefault(hw, []).append(d)
 
     for res, dirs in by_res.items():
+        quant_stats = preset_stats  # per-group: recalibrated each group
         for i in range(0, len(dirs), batch_size):
             chunk = dirs[i : i + batch_size]
             trips = [load_triplet(d) for d in chunk]
@@ -152,7 +157,7 @@ def evaluate(
             i1 = np.stack([t[2] for t in trips]).astype(np.float32) / 255.0
             i0p, hw = pad_to_multiple(jnp.asarray(i0), cfg.pad_multiple)
             i1p, _ = pad_to_multiple(jnp.asarray(i1), cfg.pad_multiple)
-            if int8 and quant_stats is None:
+            if int8:
                 from rrin_tpu.models.unet import packed_supported
 
                 if not packed_supported(
@@ -160,13 +165,15 @@ def evaluate(
                 ):
                     raise ValueError(
                         "int8 eval needs the packed fast path, which does "
-                        f"not support {i0p.shape[1]}x{i0p.shape[2]}"
+                        f"not support {i0p.shape[1]}x{i0p.shape[2]} "
+                        f"(resolution group {res})"
                     )
-                _, st = forward_calibrate(
-                    params, i0p, i1p, 0.5, cfg=cfg, compute_dtype=cd,
-                    use_pallas=use_pallas,
-                )
-                quant_stats = scale_quant_stats(st, int8_margin)
+                if quant_stats is None:
+                    _, st = forward_calibrate(
+                        params, i0p, i1p, 0.5, cfg=cfg, compute_dtype=cd,
+                        use_pallas=use_pallas,
+                    )
+                    quant_stats = scale_quant_stats(st, int8_margin)
             pred = forward(
                 params, i0p, i1p, 0.5, cfg=cfg, compute_dtype=cd,
                 use_pallas=use_pallas, packed=use_pallas or int8,
@@ -202,6 +209,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--int8", action="store_true",
                    help="score the calibrated int8 packed path (the "
                    "quality gate for the pipeline's --int8 mode)")
+    p.add_argument("--calib", default=None, metavar="NPZ",
+                   help="with --int8: persisted calibration ranges "
+                   "(params.save_calibration) instead of per-group "
+                   "calibration")
     p.add_argument("--synthesize", type=int, default=0, metavar="N",
                    help="generate N synthetic triplets into --data and exit")
     p.add_argument("--report", default=None, help="write JSON report here")
@@ -230,11 +241,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not dirs:
         print(f"error: no im1/im2/im3 triplets under {args.data}", file=sys.stderr)
         return 2
+    preset = None
+    if args.calib:
+        from rrin_tpu.params import load_calibration
+
+        preset = load_calibration(args.calib)
     report = evaluate(
         params, dirs, batch_size=args.batch,
         compute_dtype="float32" if args.fp32 else "bfloat16",
         use_pallas=not args.no_pallas,
         int8=args.int8,
+        quant_stats=preset,
     )
     summary = {k: v for k, v in report.items() if k != "per_triplet"}
     print(json.dumps(summary, indent=2))

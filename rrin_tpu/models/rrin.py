@@ -106,7 +106,7 @@ def _cascade(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "use_pallas", "remat", "packed"),
 )
-def forward(
+def _forward_jit(
     params: Params,
     i0: jnp.ndarray,
     i1: jnp.ndarray,
@@ -189,6 +189,18 @@ def forward(
                 f"{i0.shape[-3]}x{i0.shape[-2]} — re-run "
                 "prepare_packed_params with hw matching the serving shape"
             )
+        if (quant_stats is None) != (prep.quant_fp is None):
+            raise ValueError(
+                "packed_params/quant_stats mismatch: prep was built "
+                + ("WITH" if prep.quant_fp else "WITHOUT")
+                + " int8 calibration but forward was called "
+                + ("without" if prep.quant_fp else "with")
+                + " quant_stats — the int8 scales folded into the prep "
+                "must match the runtime grids; re-run "
+                "prepare_packed_params with the serving quant_stats"
+            )
+        # (Value-level fingerprint comparison happens in the eager
+        # ``forward`` wrapper — inside jit the stats are tracers.)
         prep = prep.tree
 
     def run_unet(name: str, *feats: jnp.ndarray) -> jnp.ndarray:
@@ -203,6 +215,46 @@ def forward(
 
     return _cascade(
         run_unet, i0f, i1f, tb, cfg, use_pallas, pairs=(cd == jnp.bfloat16)
+    )
+
+
+def forward(
+    params: Params,
+    i0: jnp.ndarray,
+    i1: jnp.ndarray,
+    t: Union[float, jnp.ndarray] = 0.5,
+    cfg: ModelConfig = ModelConfig(),
+    compute_dtype: jnp.dtype = jnp.float32,
+    use_pallas: bool = False,
+    remat: bool = False,
+    packed: bool = False,
+    quant_stats: Optional[Dict[str, Dict[str, jnp.ndarray]]] = None,
+    packed_params: Optional[Dict[str, Dict[str, dict]]] = None,
+) -> jnp.ndarray:
+    """See :func:`_forward_jit` (this is a thin eager wrapper around it).
+
+    The wrapper exists for ONE check that cannot live inside jit: when
+    ``packed_params`` carries a calibration fingerprint and the passed
+    ``quant_stats`` are concrete arrays, their value hash must match the
+    one baked into the prep — a same-shape call with different stats would
+    otherwise be a silent jit-cache hit serving inconsistent int8 scales.
+    """
+    if (
+        isinstance(packed_params, PackedParams)
+        and packed_params.quant_fp not in (None, "unverified")
+        and quant_stats is not None
+    ):
+        fp = _stats_fingerprint(quant_stats)
+        if fp is not None and fp != packed_params.quant_fp:
+            raise ValueError(
+                "packed_params were prepared under DIFFERENT quant_stats "
+                "values than those passed to forward — re-run "
+                "prepare_packed_params with the serving stats"
+            )
+    return _forward_jit(
+        params, i0, i1, t, cfg=cfg, compute_dtype=compute_dtype,
+        use_pallas=use_pallas, remat=remat, packed=packed,
+        quant_stats=quant_stats, packed_params=packed_params,
     )
 
 
@@ -277,21 +329,49 @@ def _prepare_packed_collect(
     return out
 
 
+def _stats_fingerprint(stats) -> Optional[str]:
+    """Deterministic value hash of a CONCRETE quant-stats pytree (None for
+    traced leaves — inside jit the values are unknowable, so callers skip
+    the value check there and rely on the static presence check)."""
+    import hashlib
+
+    leaves, treedef = jax.tree_util.tree_flatten(stats)
+    if any(isinstance(leaf, jax.core.Tracer) for leaf in leaves):
+        return None
+    h = hashlib.sha1(repr(treedef).encode())
+    for leaf in leaves:
+        import numpy as _np
+
+        a = _np.asarray(leaf, _np.float32)
+        h.update(a.shape.__repr__().encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 @jax.tree_util.register_pytree_node_class
 class PackedParams:
     """Prepared weight-side kernel constants + the (static) shape whose
-    kernel-branch configuration they were collected under."""
+    kernel-branch configuration they were collected under, plus a
+    fingerprint of the quant_stats baked in at prepare time (None when
+    prepared without int8 stats) so :func:`forward` can reject serving a
+    prep under different (or missing) calibration than it was built with —
+    the int8 scales folded into the prep would silently disagree with the
+    runtime quantization grids otherwise."""
 
-    def __init__(self, tree: Dict[str, Any], hw: tuple):
+    def __init__(self, tree: Dict[str, Any], hw: tuple,
+                 quant_fp: Optional[str] = None):
         self.tree = tree
         self.hw = tuple(hw)
+        self.quant_fp = quant_fp
 
     def tree_flatten(self):
-        return (self.tree,), self.hw  # hw rides the static aux data
+        # hw + the calibration fingerprint ride the static aux data.
+        return (self.tree,), (self.hw, self.quant_fp)
 
     @classmethod
-    def tree_unflatten(cls, hw, children):
-        return cls(children[0], hw)
+    def tree_unflatten(cls, aux, children):
+        hw, quant_fp = aux
+        return cls(children[0], hw, quant_fp)
 
 
 def prepare_packed_params(
@@ -313,6 +393,12 @@ def prepare_packed_params(
     return PackedParams(
         _prepare_packed_collect(params, cfg, compute_dtype, quant_stats, hw),
         hw,
+        quant_fp=(
+            None if quant_stats is None
+            # "unverified" when the stats were traced at prepare time (no
+            # concrete values to hash): presence is still checked.
+            else (_stats_fingerprint(quant_stats) or "unverified")
+        ),
     )
 
 

@@ -439,9 +439,11 @@ def unet_apply_packed(
         return avg_pool_2x_packed(t, ts)
 
     def pool_n(t):
-        # Inputs (s3n, s4n) come from non-carried sites, so the int8
-        # branch is defensive only — kept for symmetry with up_n, whose
-        # int8 inputs (unpacked d4c2/u1c2 tensors) are real.
+        # Both pool_n's and up_n's int8 branches are DEFENSIVE: no carried
+        # -int8 tensor currently reaches a materialized resample (d4c2 and
+        # u1c2 are not in _CARRY — routing int8 through materialized
+        # pools/upsamples measured +12 ms/frame, see the _CARRY note).
+        # Kept so a future carry-plan change degrades gracefully.
         if t.dtype == jnp.int8:
             return _rq(avg_pool_2x(t.astype(jnp.float32)))
         return avg_pool_2x(t)

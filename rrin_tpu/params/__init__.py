@@ -10,9 +10,11 @@ flat ``.npz`` files (air-gap friendly; no external deps).
 from rrin_tpu.params.checkpoint import (
     convert_torch_state_dict,
     flatten_params,
+    load_calibration,
     load_params,
     load_torch_checkpoint,
     params_to_torch_state_dict,
+    save_calibration,
     save_params,
     unflatten_params,
 )
@@ -20,6 +22,8 @@ from rrin_tpu.params.checkpoint import (
 __all__ = [
     "save_params",
     "load_params",
+    "save_calibration",
+    "load_calibration",
     "flatten_params",
     "unflatten_params",
     "convert_torch_state_dict",

@@ -71,6 +71,33 @@ def load_params(path: str) -> Params:
         return unflatten_params({k: data[k] for k in data.files})
 
 
+CALIB_PREFIX = "__calib__."
+
+
+def save_calibration(path: str, quant_stats: Params) -> None:
+    """Persist int8 calibration stats (per-tensor |x| maxima from
+    ``forward_calibrate``, usually already margin-scaled) as a flat .npz —
+    SURVEY.md §5 checkpoint/resume: ``--int8`` serving can then load the
+    ranges instead of re-calibrating (and re-compiling the calibration
+    graph) on every process start. The stats are per-tensor scalars, so
+    one file serves every resolution."""
+    flat = {CALIB_PREFIX + k: v for k, v in flatten_params(quant_stats).items()}
+    np.savez(path, **flat)
+
+
+def load_calibration(path: str) -> Params:
+    """Inverse of :func:`save_calibration`. Also accepts an .npz written
+    without the calib prefix (plain flattened stats)."""
+    with np.load(path) as data:
+        flat = {}
+        for k in data.files:
+            key = k[len(CALIB_PREFIX):] if k.startswith(CALIB_PREFIX) else k
+            flat[key] = data[k]
+    if not flat:
+        raise ValueError(f"no calibration entries in {path}")
+    return unflatten_params(flat)
+
+
 def convert_torch_state_dict(
     state_dict: Mapping[str, Any], strict: bool = True
 ) -> Params:

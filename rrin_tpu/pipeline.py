@@ -42,14 +42,7 @@ def _dtype_from_name(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "exp", "mode", "cfg", "compute_dtype", "use_pallas", "pad_hw",
-        "packed",
-    ),
-)
-def device_step(
+def _step_body(
     params: Dict[str, Any],
     pairs_u8: jnp.ndarray,
     exp: int = 1,
@@ -102,6 +95,11 @@ def device_step(
         # Reference-compatible midpoint recursion (SURVEY.md §3.2 [B:10]):
         # level l interpolates midpoints of all 2^l consecutive pairs, in
         # one batched forward per level; intermediates stay in HBM float.
+        # NOTE: the last level runs a 2^(exp-1)*B-batch forward (direct
+        # mode runs (2^exp - 1)*B) — at 1080p, batch>1 is measured
+        # HBM-pressure-SLOWER than batch 1 (docs/PERFORMANCE.md "1080p
+        # batching"), so high exp on large frames has sub-linear
+        # throughput; Interpolator warns at exp >= 3.
         frames = [i0, i1]  # ordered timeline
         for _level in range(exp):
             lhs = jnp.concatenate(frames[:-1], axis=0)
@@ -126,11 +124,18 @@ def device_step(
     return jnp.round(jnp.clip(mids, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
-@partial(
+# The single-device jitted step (each Interpolator DP shard runs this exact
+# program per device via shard_map — see Interpolator._make_dp_step).
+device_step = partial(
     jax.jit,
-    static_argnames=("cfg", "compute_dtype", "use_pallas", "pad_hw"),
-)
-def device_calibrate(
+    static_argnames=(
+        "exp", "mode", "cfg", "compute_dtype", "use_pallas", "pad_hw",
+        "packed",
+    ),
+)(_step_body)
+
+
+def _calibrate_body(
     params: Dict[str, Any],
     pairs_u8: jnp.ndarray,
     cfg: ModelConfig = ModelConfig(),
@@ -157,6 +162,12 @@ def device_calibrate(
         compute_dtype=compute_dtype, use_pallas=use_pallas,
     )
     return stats
+
+
+device_calibrate = partial(
+    jax.jit,
+    static_argnames=("cfg", "compute_dtype", "use_pallas", "pad_hw"),
+)(_calibrate_body)
 
 
 @dataclass
@@ -198,9 +209,18 @@ class Interpolator:
 
     With ``data_parallel > 1`` (or 0 = all local devices), frame-pair
     batches shard over a 1-D ``data`` mesh axis riding ICI (BASELINE.json
-    config 5); params are replicated and XLA emits the collectives. The
-    batch must be divisible by the mesh size (interpolate_video pads tail
-    batches, so any batch_size works at the CLI level).
+    config 5); params are replicated. Batch DP is embarrassingly parallel,
+    so the step is ``jax.shard_map`` of the SINGLE-DEVICE program: every
+    chip runs the exact same fast path as a 1-chip run — Mosaic kernels,
+    carried int8, prepare-once constants and all (SURVEY.md §2.3 DP row).
+    The batch must be divisible by the mesh size (interpolate_video pads
+    tail batches, so any batch_size works at the CLI level).
+
+    ``spatial > 1`` additionally shards frame HEIGHT (for 4K-class frames)
+    through jit-SPMD with XLA-inserted halo exchanges; that path cannot
+    carry the Mosaic kernels (pallas_call is not partitionable across a
+    sharded H), so spatial runs use the plain XLA compute path and reject
+    int8 (which would be all fake-quant cost, no MXU win).
     """
 
     def __init__(
@@ -216,22 +236,45 @@ class Interpolator:
         spatial: int = 1,
         int8: bool = False,
         int8_margin: float = 1.2,
+        quant_stats: Optional[Dict[str, Any]] = None,
+        mesh: Any = None,
     ):
         if mode not in ("direct", "cascade"):
             raise ValueError(f"unknown mode: {mode!r}")
         if exp < 1:
             raise ValueError("exp must be >= 1")
+        if exp >= 3:
+            import warnings
+
+            n = (1 << (exp - 1)) if mode == "cascade" else (1 << exp) - 1
+            warnings.warn(
+                f"exp={exp} ({mode} mode) runs up to {n}x-batch forwards "
+                "per frame pair — large frames (1080p+) are measured "
+                "HBM-pressure-slower above device batch 1 "
+                "(docs/PERFORMANCE.md); expect sub-linear throughput",
+                stacklevel=2,
+            )
         if spatial < 1:
             raise ValueError("spatial must be >= 1")
-        if int8 and (data_parallel != 1 or spatial > 1):
-            # Sharded runs use the SPMD XLA path (no Mosaic kernels), where
-            # int8 would only add fake-quant noise with no MXU speedup.
-            raise ValueError("int8 requires the single-device packed path")
+        if int8 and spatial > 1:
+            # Spatially-sharded runs use the SPMD XLA path (no Mosaic
+            # kernels across a sharded H), where int8 would only add
+            # fake-quant noise with no MXU speedup. Pure batch DP is fine:
+            # shard_map runs the full int8 fast path on every device.
+            raise ValueError(
+                "int8 composes with data_parallel (shard_map DP) but not "
+                "with spatial sharding"
+            )
         if int8:
             packed = True
         self.int8 = int8
         self.int8_margin = int8_margin
-        self._quant_stats: Optional[Dict[str, Any]] = None
+        # Persisted calibration (params/checkpoint save_calibration):
+        # per-tensor absmax scalars are resolution-independent, so one
+        # preset tree serves every shape (packed support still validated
+        # per shape). The margin is assumed already applied by the saver.
+        self._preset_stats = quant_stats
+        self._quant_stats: Dict[Any, Dict[str, Any]] = {}
         self._packed_params: Dict[Any, Any] = {}
         self.params = params
         self.cfg = cfg
@@ -242,21 +285,83 @@ class Interpolator:
         self.packed = packed
         self.mesh = None
         self.spatial = spatial
-        if data_parallel != 1 or spatial > 1:
-            # BASELINE.json config 5: very large frames (4K) shard H over
-            # the ``spatial`` mesh axis on top of batch DP; XLA inserts
-            # the conv halo exchanges over ICI (SURVEY.md §5
-            # "long-context"). Note: the Pallas kernels are not SPMD-
-            # partitionable inside jit, so spatially-sharded runs use the
-            # XLA compute path (packed/use_pallas off makes no difference
-            # on CPU meshes, where the fallback is XLA anyway).
+        self._dp_steps: Dict[Any, Any] = {}  # pad_hw -> jitted shard_map
+        if mesh is not None or data_parallel != 1 or spatial > 1:
+            # BASELINE.json config 5: batch over ``data`` (shard_map of
+            # the single-device fast path — see class docstring); very
+            # large frames (4K) additionally shard H over ``spatial``
+            # through jit-SPMD with XLA-inserted conv halo exchanges over
+            # ICI (SURVEY.md §5 "long-context"). ``mesh`` overrides
+            # data_parallel/spatial with a prebuilt ('data', 'spatial')
+            # mesh (the driver's CPU-pinned dryrun uses this).
             from rrin_tpu.parallel.sharding import make_mesh, replicate_params
 
-            n = data_parallel if data_parallel > 0 else 0
-            mesh = make_mesh(n_data=n, n_spatial=spatial)
+            if mesh is None:
+                n = data_parallel if data_parallel > 0 else 0
+                mesh = make_mesh(n_data=n, n_spatial=spatial)
             if mesh.devices.size > 1:
                 self.mesh = mesh
                 self.params = replicate_params(mesh, params)
+
+    @property
+    def _dp_fast(self) -> bool:
+        """True when the sharded step is shard_map of the full single-
+        device fast path (pure batch DP — no spatial axis in use)."""
+        return self.mesh is not None and self.spatial == 1
+
+    def _make_dp_step(self, pad_hw):
+        """jit(shard_map(single-device step)) over the data axis: params,
+        stats and prep replicated, the pair batch sharded on B. Each device
+        traces the EXACT single-chip program — Mosaic kernels, carried
+        int8, prepare-once constants and all."""
+        from jax.sharding import PartitionSpec as P
+
+        from rrin_tpu.parallel.sharding import DATA_AXIS
+
+        kw = dict(
+            exp=self.exp, mode=self.mode, cfg=self.cfg,
+            compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,
+            pad_hw=pad_hw, packed=self.packed,
+        )
+
+        def local(params, pairs, quant_stats, packed_params):
+            return _step_body(params, pairs, quant_stats=quant_stats,
+                              packed_params=packed_params, **kw)
+
+        # check_vma=False: pallas_call does not carry vma metadata (the
+        # kernels are traced inside shard_map even on CPU — platform_
+        # dependent traces every branch), and the replication check has
+        # nothing to verify here: one sharded input, batch-pointwise.
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(DATA_AXIS), P(), P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        ))
+
+    def _dp_calibrate(self, pairs_u8: np.ndarray, pad_hw) -> Dict[str, Any]:
+        """shard_map int8 calibration: each device runs the single-device
+        calibration pass on its batch shard; per-tensor |x| maxima fold
+        with pmax over the data axis, so the result equals a full-batch
+        single-device calibration and comes out replicated."""
+        from jax.sharding import PartitionSpec as P
+
+        from rrin_tpu.parallel.sharding import DATA_AXIS, shard_pairs
+
+        kw = dict(cfg=self.cfg, compute_dtype=self.compute_dtype,
+                  use_pallas=self.use_pallas, pad_hw=pad_hw)
+
+        def local(params, pairs):
+            stats = _calibrate_body(params, pairs, **kw)
+            return jax.tree.map(
+                lambda s: jax.lax.pmax(s, DATA_AXIS), stats
+            )
+
+        batch = shard_pairs(self.mesh, pairs_u8)
+        return jax.jit(jax.shard_map(
+            local, mesh=self.mesh, in_specs=(P(), P(DATA_AXIS)),
+            out_specs=P(), check_vma=False,
+        ))(self.params, batch)
 
     @property
     def mids_per_pair(self) -> int:
@@ -275,35 +380,51 @@ class Interpolator:
     def step(self, pairs_u8: np.ndarray) -> jax.Array:
         """Dispatch one device step; returns the (async) device result.
 
-        In int8 mode the FIRST batch also runs a calibration pass
-        (device_calibrate) whose activation ranges, scaled by
-        ``int8_margin``, quantize every subsequent frame."""
+        In int8 mode the first batch AT EACH RESOLUTION also runs a
+        calibration pass (device_calibrate) whose activation ranges, scaled
+        by ``int8_margin``, quantize every subsequent same-resolution frame
+        (per-resolution stats: a shape change re-validates packed support
+        and re-calibrates rather than silently reusing foreign ranges)."""
         b, _, h, w, _ = pairs_u8.shape
         pad_hw = (
             padded_size(h, self.cfg.pad_multiple) - h,
             padded_size(w, self.cfg.pad_multiple) - w,
         )
-        if self.int8 and self._quant_stats is None:
+        hw_key = (h + pad_hw[0], w + pad_hw[1])
+        if self.int8 and hw_key not in self._quant_stats:
             from rrin_tpu.models.unet import packed_supported
 
-            if not packed_supported(h + pad_hw[0], w + pad_hw[1], self.cfg):
+            if not packed_supported(hw_key[0], hw_key[1], self.cfg):
                 raise ValueError(
                     f"int8 mode needs the packed fast path, which does not "
                     f"support {h}x{w} with this config"
                 )
-            self._quant_stats = scale_quant_stats(
-                device_calibrate(
-                    self.params, jnp.asarray(pairs_u8), cfg=self.cfg,
-                    compute_dtype=self.compute_dtype,
-                    use_pallas=self.use_pallas, pad_hw=pad_hw,
-                ),
-                self.int8_margin,
-            )
+            if self._preset_stats is not None:
+                self._quant_stats[hw_key] = self._preset_stats
+            elif self.mesh is not None:
+                # shard_map calibration: per-device local maxima folded
+                # with pmax over the data axis — exact full-batch ranges,
+                # replicated on output, Pallas-safe per device.
+                self._quant_stats[hw_key] = scale_quant_stats(
+                    self._dp_calibrate(pairs_u8, pad_hw), self.int8_margin
+                )
+            else:
+                self._quant_stats[hw_key] = scale_quant_stats(
+                    device_calibrate(
+                        self.params, jnp.asarray(pairs_u8), cfg=self.cfg,
+                        compute_dtype=self.compute_dtype,
+                        use_pallas=self.use_pallas, pad_hw=pad_hw,
+                    ),
+                    self.int8_margin,
+                )
+        quant_stats = self._quant_stats.get(hw_key)
         # Prepare-once: collect the packed kernels' weight-side constants
         # for this resolution so per-frame steps skip rebuilding them.
+        # (Single-device and shard_map-DP runs both use it — under DP the
+        # prep constants come out mesh-replicated and ride P() specs.)
         use_pp = self.use_pallas if self.packed is None else self.packed
-        hw_key = (h + pad_hw[0], w + pad_hw[1])
-        if use_pp and self.mesh is None and hw_key not in self._packed_params:
+        if (use_pp and (self.mesh is None or self._dp_fast)
+                and hw_key not in self._packed_params):
             from rrin_tpu.models.rrin import prepare_packed_params
             from rrin_tpu.models.unet import packed_supported
 
@@ -311,18 +432,28 @@ class Interpolator:
             if packed_supported(hw_key[0], hw_key[1], self.cfg):
                 prep = prepare_packed_params(
                     self.params, self.cfg, self.compute_dtype,
-                    quant_stats=self._quant_stats, hw=hw_key,
+                    quant_stats=quant_stats, hw=hw_key,
                 )
             self._packed_params[hw_key] = prep  # None = unsupported
         prep = self._packed_params.get(hw_key)
+        if self._dp_fast:
+            # Pure batch DP: shard_map of the single-device program — the
+            # full fast path (Mosaic kernels + carried int8) per device.
+            from rrin_tpu.parallel.sharding import shard_pairs
+
+            dp = self._dp_steps.get(hw_key)
+            if dp is None:
+                dp = self._dp_steps[hw_key] = self._make_dp_step(pad_hw)
+            batch = shard_pairs(self.mesh, pairs_u8)
+            return dp(self.params, batch, quant_stats, prep)
         if self.mesh is not None:
             from rrin_tpu.parallel.sharding import shard_pairs
 
-            # pairs_u8 is (B, 2, H, W, 3): H is dim 2.
-            batch = shard_pairs(
-                self.mesh, pairs_u8,
-                spatial_dim=2 if self.spatial > 1 else None,
-            )
+            # Spatial (+DP) jit-SPMD path: XLA compute only — pallas_call
+            # cannot partition across the sharded H, so the kernels and
+            # the packed layout stay off here (4K-class frames; the halo
+            # exchanges ride ICI). pairs_u8 is (B, 2, H, W, 3): H is dim 2.
+            batch = shard_pairs(self.mesh, pairs_u8, spatial_dim=2)
         else:
             batch = jnp.asarray(pairs_u8)
         return device_step(
@@ -335,7 +466,7 @@ class Interpolator:
             use_pallas=self.use_pallas,
             pad_hw=pad_hw,
             packed=self.packed,
-            quant_stats=self._quant_stats,
+            quant_stats=quant_stats,
             packed_params=prep,
         )
 
@@ -362,6 +493,8 @@ def interpolate_video(
     spatial: int = 1,
     int8: bool = False,
     int8_margin: float = 1.2,
+    quant_stats: Optional[Dict[str, Any]] = None,
+    save_calib: Optional[str] = None,
 ) -> PipelineReport:
     """2^exp-upsample ``input_path``'s frame rate into ``output_path``.
 
@@ -379,7 +512,7 @@ def interpolate_video(
     interp = Interpolator(
         params, cfg, exp=exp, mode=mode, compute_dtype=compute_dtype,
         use_pallas=use_pallas, data_parallel=data_parallel, spatial=spatial,
-        int8=int8, int8_margin=int8_margin,
+        int8=int8, int8_margin=int8_margin, quant_stats=quant_stats,
     )
     m = interp.mids_per_pair
     # Sharded batches must divide evenly over the data mesh axis.
@@ -488,6 +621,14 @@ def interpolate_video(
         writer.close()
         if progress:
             print()
+
+    if save_calib and interp._quant_stats:
+        # Persist the (margin-scaled) ranges the run calibrated — later
+        # runs pass them back via ``quant_stats`` and skip calibration.
+        from rrin_tpu.params import save_calibration
+
+        stats = next(iter(interp._quant_stats.values()))
+        save_calibration(save_calib, jax.tree.map(np.asarray, stats))
 
     timers.total = time.perf_counter() - t_start
     report.frames_in = frames_in

@@ -61,6 +61,8 @@ def interpolate_video_resumable(
     spatial: int = 1,
     int8: bool = False,
     int8_margin: float = 1.2,
+    quant_stats: Optional[Dict[str, Any]] = None,
+    save_calib: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Run (or resume) a segmented interpolation job; returns the manifest."""
     from rrin_tpu.io.video import probe_video
@@ -130,6 +132,11 @@ def interpolate_video_resumable(
                 spatial=spatial,
                 int8=int8,
                 int8_margin=int8_margin,
+                quant_stats=quant_stats,
+                # Only the first still-running segment writes the calib
+                # file; later segments (and resumes) load it back via
+                # quant_stats at the CLI layer or recalibrate identically.
+                save_calib=save_calib,
             )
             seg["done"] = True
             seg["frames"] = report.frames_out

@@ -38,6 +38,37 @@ def charbonnier(pred: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-6) -> jn
     return jnp.mean(jnp.sqrt((pred - target) ** 2 + eps * eps))
 
 
+def l1(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Plain L1 — one of the paper's training losses (SURVEY.md §2.1
+    note: the paper trained with Laplacian + L1)."""
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def laplacian(pred: jnp.ndarray, target: jnp.ndarray, levels: int = 5) -> jnp.ndarray:
+    """Laplacian-pyramid L1 (the paper's perceptually-weighted loss,
+    SURVEY.md §2.1 note): L1 between band-pass residuals at each pyramid
+    level, weighted 2^level (coarse bands weigh more, the standard LapLoss
+    schedule), plus the low-pass top. Pyramid via the framework's own
+    avg-pool/bilinear resize ops — band definitions match inference math.
+    """
+    from rrin_tpu.ops.resize import avg_pool_2x, upsample_2x_bilinear
+
+    total = jnp.float32(0.0)
+    p, t = pred, target
+    for lvl in range(levels):
+        if p.shape[1] % 2 or p.shape[2] % 2 or min(p.shape[1:3]) <= 2:
+            break
+        pd, td = avg_pool_2x(p), avg_pool_2x(t)
+        lap_p = p - upsample_2x_bilinear(pd)
+        lap_t = t - upsample_2x_bilinear(td)
+        total = total + (2.0 ** lvl) * jnp.mean(jnp.abs(lap_p - lap_t))
+        p, t = pd, td
+    return total + (2.0 ** levels) * jnp.mean(jnp.abs(p - t))
+
+
+LOSSES = {"charbonnier": charbonnier, "l1": l1, "laplacian": laplacian}
+
+
 def make_optimizer(
     learning_rate: float = 1e-4, kind: str = "adamax"
 ) -> optax.GradientTransformation:
@@ -58,17 +89,19 @@ def loss_fn(
     compute_dtype: Any = jnp.float32,
     use_pallas: bool = False,
     remat: bool = False,
+    loss: str = "charbonnier",
 ) -> jnp.ndarray:
     pred = forward(
         params, i0, i1, t, cfg=cfg, compute_dtype=compute_dtype,
         use_pallas=use_pallas, remat=remat,
     )
-    return charbonnier(pred, gt.astype(jnp.float32))
+    return LOSSES[loss](pred, gt.astype(jnp.float32))
 
 
 @partial(
     jax.jit,
-    static_argnames=("optimizer", "cfg", "compute_dtype", "use_pallas", "remat"),
+    static_argnames=("optimizer", "cfg", "compute_dtype", "use_pallas",
+                     "remat", "loss"),
     donate_argnames=("params", "opt_state"),
 )
 def train_step(
@@ -83,16 +116,17 @@ def train_step(
     compute_dtype: Any = jnp.float32,
     use_pallas: bool = False,
     remat: bool = False,
+    loss: str = "charbonnier",
 ) -> Tuple[Params, Any, jnp.ndarray]:
     """One SGD update. Shard the batch dims over a Mesh and this same jit
     becomes the multi-chip data-parallel step (gradients psum over ICI)."""
-    loss, grads = jax.value_and_grad(loss_fn)(
+    loss_v, grads = jax.value_and_grad(loss_fn)(
         params, i0, gt, i1, t, cfg=cfg, compute_dtype=compute_dtype,
-        use_pallas=use_pallas, remat=remat,
+        use_pallas=use_pallas, remat=remat, loss=loss,
     )
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
-    return params, opt_state, loss
+    return params, opt_state, loss_v
 
 
 @dataclass
@@ -110,6 +144,7 @@ class Trainer:
     mesh: Optional[Any] = None  # jax.sharding.Mesh
     spatial_dim: Optional[int] = None
     step_count: int = 0
+    loss: str = "charbonnier"  # see LOSSES (paper: laplacian / l1)
 
     @classmethod
     def create(
@@ -149,7 +184,7 @@ class Trainer:
         self.params, self.opt_state, loss = train_step(
             self.params, self.opt_state, *arrays, t, self.optimizer,
             cfg=self.cfg, compute_dtype=self.compute_dtype,
-            use_pallas=self.use_pallas, remat=self.remat,
+            use_pallas=self.use_pallas, remat=self.remat, loss=self.loss,
         )
         self.step_count += 1
         return float(loss)
@@ -226,7 +261,13 @@ def main(argv=None) -> int:
     from rrin_tpu.params import save_params
 
     p = argparse.ArgumentParser(prog="rrin-tpu-train")
-    p.add_argument("--data", required=True, help="triplet root directory")
+    p.add_argument("--data", default=None, help="triplet root directory")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the fully on-device linear-motion "
+                   "triplet feed (rrin_tpu.data.synthetic) instead of "
+                   "--data files — zero host transfer per step")
+    p.add_argument("--loss", choices=sorted(LOSSES), default="charbonnier",
+                   help="reconstruction loss (paper: laplacian / l1)")
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-4)
@@ -286,9 +327,26 @@ def main(argv=None) -> int:
     trainer = Trainer.create(
         learning_rate=args.lr, mesh=mesh, params=params,
         compute_dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
-        remat=args.remat,
+        remat=args.remat, loss=args.loss,
     )
-    batches = triplet_batches(args.data, args.batch, tuple(args.crop))
+    if args.synthetic:
+        from rrin_tpu.data import synthetic_triplet_batch
+
+        def _synthetic_gen():
+            key = jax.random.key(0)
+            step = 0
+            while True:
+                yield synthetic_triplet_batch(
+                    jax.random.fold_in(key, step), args.batch,
+                    tuple(args.crop),
+                )
+                step += 1
+
+        batches = _synthetic_gen()
+    elif args.data:
+        batches = triplet_batches(args.data, args.batch, tuple(args.crop))
+    else:
+        p.error("one of --data or --synthetic is required")
     t0 = time.perf_counter()
     for step in range(args.steps):
         i0, gt, i1 = next(batches)

@@ -123,12 +123,15 @@ class TestPipelineInt8:
         interp.step(pairs)
         assert interp._quant_stats is stats
 
-    def test_int8_rejects_sharding(self):
+    def test_int8_rejects_spatial_sharding(self):
+        # int8 + batch DP composes (shard_map of the single-device fast
+        # path, tests/test_sharding.py TestShardMapDP); spatial H-sharding
+        # still cannot carry the packed kernels and must reject.
         from rrin_tpu.pipeline import Interpolator
 
         params = init_params(jax.random.key(0), CFG)
-        with pytest.raises(ValueError, match="int8"):
-            Interpolator(params, CFG, int8=True, data_parallel=2)
+        with pytest.raises(ValueError, match="spatial"):
+            Interpolator(params, CFG, int8=True, spatial=2)
 
     def test_int8_rejects_unsupported_shape(self, rng):
         from rrin_tpu.pipeline import Interpolator
