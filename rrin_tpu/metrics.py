@@ -40,13 +40,24 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, max_val: float = 1.0) -> jnp.nd
 
     def blur(x: jnp.ndarray) -> jnp.ndarray:
         # Separable depthwise filtering via two 1-D convs (VPU-friendly).
+        # precision=HIGHEST: TPU convs default to bf16-ish passes, whose
+        # ~3-decimal-digit error destroys the blur(x*x) - mu^2 variance
+        # cancellation below (sigma^2 comes out negative at the scale of
+        # C2 and SSIM can exceed 1 — seen as ssim_mean 1.39 in a TPU eval
+        # before this fix; CPU convs are exact f32 and never showed it).
         b, h, w, c = x.shape
         kh = win.reshape(1, 11, 1, 1)
         kw = win.reshape(11, 1, 1, 1)
         dn = ("NHWC", "HWIO", "NHWC")
         x = jnp.moveaxis(x, -1, 1).reshape(b * c, h, w, 1)
-        x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn)
-        x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=dn)
+        x = jax.lax.conv_general_dilated(
+            x, kh, (1, 1), "VALID", dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        x = jax.lax.conv_general_dilated(
+            x, kw, (1, 1), "VALID", dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         hw2, ww2 = x.shape[1], x.shape[2]
         return jnp.moveaxis(x.reshape(b, c, hw2, ww2), 1, -1)
 

@@ -43,7 +43,8 @@ UNET_SIGNATURES = {
 
 
 def init_params(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> Params:
-    """Random-init the full cascade parameter pytree (~9.6M params)."""
+    """Random-init the full cascade parameter pytree (32.0M params /
+    ~128 MB fp32 — four ~8M-param U-Nets)."""
     keys = jax.random.split(key, 4)
     return {
         name: unet_init(k, cin, cout, cfg)

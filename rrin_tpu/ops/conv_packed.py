@@ -1045,9 +1045,16 @@ def _conv_pool_packed_xla(
     out_absmax: Optional[jnp.ndarray] = None,
     out_dtype=None,
 ) -> jnp.ndarray:
-    """Reference/fallback: packed pool -> packed conv (both XLA). An int8
-    input dequantizes first — exactly the kernel's math, since the pool is
-    linear: round(pool(q)) == quantize(pool(q * ax/127))."""
+    """Reference/fallback: packed pool -> packed conv (both XLA).
+
+    An int8 input pools ON the int8 grid (sum-of-4 * 0.25, rounded) —
+    exactly the kernel's math. Dequantize->pool->requantize is NOT
+    equivalent in f32: a 4-tap integer sum lands on an exact .5 grid tie
+    25% of the time, and the *(ax/127) ... *(127/ax) roundtrip perturbs
+    those ties either way, flipping ~1 in 8 pooled elements by one grid
+    step (this was the old fallback, and the reason the on-device
+    conv_pool int8 selfcheck scored 49.7 dB while its siblings scored
+    104+ — the KERNEL was the exact side)."""
     from rrin_tpu.ops.packed import avg_pool_2x_packed
 
     if absmax is None:
@@ -1058,10 +1065,16 @@ def _conv_pool_packed_xla(
             [pad_lanes(xp_, _round_up(ps.lanes, LANES))], w, bias, (ps,),
             (real_c,), off_out, slope, out_dtype=out_dtype,
         )
-    ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
-    xf = x[..., : spec.lanes].astype(jnp.float32)
     if x.dtype == jnp.int8:
-        xf = xf * (ax / 127.0)
+        xp_, ps = avg_pool_2x_packed(
+            x[..., : spec.lanes].astype(jnp.float32), spec
+        )
+        xq = jnp.clip(jnp.round(xp_), -127.0, 127.0).astype(jnp.int8)
+        return _conv_packed_xla(
+            [pad_lanes(xq, _round_up(ps.lanes, LANES))], w, bias, (ps,),
+            (real_c,), off_out, slope, (absmax,), out_absmax, out_dtype,
+        )
+    xf = x[..., : spec.lanes].astype(jnp.float32)
     xp_, ps = avg_pool_2x_packed(xf, spec)
     return _conv_packed_xla(
         [pad_lanes(xp_, _round_up(ps.lanes, LANES))], w, bias, (ps,),

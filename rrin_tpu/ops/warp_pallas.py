@@ -84,6 +84,13 @@ def _warp_kernel_pairs(H: int, Wp: int, win_rows: int):
     and splitting it with in-register integer shifts is the TPU-native
     way to halve gather bytes. Used by the bf16 compute path; quality
     cost is only the input's bf16 rounding (exact f32 accumulation).
+
+    Round 3: the source-row loop runs per 8-row OUTPUT SUBBLOCK with a
+    per-subblock [rmin, rmax] — a source row only matters to the ~2
+    output rows whose y0 hits it, so per-subblock ranges skip roughly
+    half of the (rows x vregs) gather/mask work the old whole-RB loop
+    burned (each row iteration also now touches (8,128) vregs, not
+    (16,128), and the row8->RB broadcast concat is gone).
     """
     n_oc = Wp // LANES
 
@@ -125,58 +132,64 @@ def _warp_kernel_pairs(H: int, Wp: int, win_rows: int):
 
         for oc in range(n_oc):
             sl = slice(oc * LANES, (oc + 1) * LANES)
-            x0c = x0[:, sl]
-            x1c = x0c + 1
-            wxc = wx[:, sl]
-            cw0 = 1.0 - wxc
-            cw1 = wxc
-            xl0 = x0c & (LANES - 1)
-            xl1 = x1c & (LANES - 1)
-            xt0 = x0c >> 7
-            xt1 = x1c >> 7
-            ylc = yl[:, sl]
-            wyc = wy[:, sl]
+            for sb in range(RB // 8):
+                rs = slice(sb * 8, (sb + 1) * 8)
+                x0c = x0[rs, sl]
+                x1c = x0c + 1
+                wxc = wx[rs, sl]
+                cw0 = 1.0 - wxc
+                cw1 = wxc
+                xl0 = x0c & (LANES - 1)
+                xl1 = x1c & (LANES - 1)
+                xt0 = x0c >> 7
+                xt1 = x1c >> 7
+                ylc = yl[rs, sl]
+                wyc = wy[rs, sl]
 
-            rmin = jnp.clip(jnp.min(ylc), 0, win_rows - 1)
-            rmax = jnp.clip(jnp.max(ylc) + 1, 0, win_rows - 1)
-            tmin = jnp.clip(jnp.min(xt0), 0, n_oc - 1)
-            tmax = jnp.clip(jnp.max(xt1), 0, n_oc - 1)
+                rmin = jnp.clip(jnp.min(ylc), 0, win_rows - 1)
+                rmax = jnp.clip(jnp.max(ylc) + 1, 0, win_rows - 1)
+                tmin = jnp.clip(jnp.min(xt0), 0, n_oc - 1)
+                tmax = jnp.clip(jnp.max(xt1), 0, n_oc - 1)
 
-            def row_body(r, accs, ylc=ylc, wyc=wyc, xl0=xl0, xl1=xl1,
-                         xt0=xt0, xt1=xt1, cw0=cw0, cw1=cw1,
-                         tmin=tmin, tmax=tmax):
-                wrow = jnp.where(ylc == r, 1.0 - wyc, 0.0) + jnp.where(
-                    ylc == r - 1, wyc, 0.0
+                def row_body(r, accs, ylc=ylc, wyc=wyc, xl0=xl0, xl1=xl1,
+                             xt0=xt0, xt1=xt1, cw0=cw0, cw1=cw1,
+                             tmin=tmin, tmax=tmax):
+                    wrow = jnp.where(ylc == r, 1.0 - wyc, 0.0) + jnp.where(
+                        ylc == r - 1, wyc, 0.0
+                    )
+                    g8 = pl.multiple_of((r >> 3) * 8, 8)
+                    ridx = jnp.full((8, LANES), r & 7, jnp.int32)
+
+                    def tile_body(xt, accs, wrow=wrow, ridx=ridx):
+                        start = pl.multiple_of(xt * LANES, LANES)
+                        m0 = (xt0 == xt).astype(jnp.float32) * cw0
+                        m1 = (xt1 == xt).astype(jnp.float32) * cw1
+                        out = list(accs)
+                        for c in range(2):
+                            sub = wrefs[c][pl.ds(g8, 8), pl.ds(start, LANES)]
+                            row8 = jnp.take_along_axis(sub, ridx, axis=0)
+                            gv0 = jnp.take_along_axis(row8, xl0, axis=1)
+                            gv1 = jnp.take_along_axis(row8, xl1, axis=1)
+                            u0 = pltpu.bitcast(gv0, jnp.uint32)
+                            u1 = pltpu.bitcast(gv1, jnp.uint32)
+                            if c == 0:
+                                out[0] = out[0] + wrow * (
+                                    m0 * lo(u0) + m1 * lo(u1))
+                                out[1] = out[1] + wrow * (
+                                    m0 * hi(u0) + m1 * hi(u1))
+                            else:
+                                out[2] = out[2] + wrow * (
+                                    m0 * lo(u0) + m1 * lo(u1))
+                        return tuple(out)
+
+                    return jax.lax.fori_loop(tmin, tmax + 1, tile_body, accs)
+
+                zero = jnp.zeros((8, LANES), jnp.float32)
+                acc = jax.lax.fori_loop(
+                    rmin, rmax + 1, row_body, (zero, zero, zero)
                 )
-                g8 = pl.multiple_of((r >> 3) * 8, 8)
-                ridx = jnp.full((8, LANES), r & 7, jnp.int32)
-
-                def tile_body(xt, accs, wrow=wrow, ridx=ridx):
-                    start = pl.multiple_of(xt * LANES, LANES)
-                    m0 = (xt0 == xt).astype(jnp.float32) * cw0
-                    m1 = (xt1 == xt).astype(jnp.float32) * cw1
-                    out = list(accs)
-                    for c in range(2):
-                        sub = wrefs[c][pl.ds(g8, 8), pl.ds(start, LANES)]
-                        row8 = jnp.take_along_axis(sub, ridx, axis=0)
-                        rowb = jnp.concatenate([row8] * (RB // 8), axis=0)
-                        gv0 = jnp.take_along_axis(rowb, xl0, axis=1)
-                        gv1 = jnp.take_along_axis(rowb, xl1, axis=1)
-                        u0 = pltpu.bitcast(gv0, jnp.uint32)
-                        u1 = pltpu.bitcast(gv1, jnp.uint32)
-                        if c == 0:
-                            out[0] = out[0] + wrow * (m0 * lo(u0) + m1 * lo(u1))
-                            out[1] = out[1] + wrow * (m0 * hi(u0) + m1 * hi(u1))
-                        else:
-                            out[2] = out[2] + wrow * (m0 * lo(u0) + m1 * lo(u1))
-                    return tuple(out)
-
-                return jax.lax.fori_loop(tmin, tmax + 1, tile_body, accs)
-
-            zero = jnp.zeros((RB, LANES), jnp.float32)
-            acc = jax.lax.fori_loop(rmin, rmax + 1, row_body, (zero, zero, zero))
-            for c in range(3):
-                out_ref[0, c, :, sl] = acc[c]
+                for c in range(3):
+                    out_ref[0, c, rs, sl] = acc[c]
 
     return kernel
 
@@ -253,58 +266,64 @@ def _warp_kernel(H: int, Wp: int, win_rows: int):
 
         for oc in range(n_oc):
             sl = slice(oc * LANES, (oc + 1) * LANES)
-            x0c = x0[:, sl]
-            x1c = x0c + 1
-            wxc = wx[:, sl]
-            # x>=Wp -> tile-match fails; x in [W, Wp) samples the zero pad;
-            # x<0 -> arithmetic >> keeps it off every tile. So horizontal
-            # zeros padding needs no explicit masks at all.
-            cw0 = 1.0 - wxc
-            cw1 = wxc
-            xl0 = x0c & (LANES - 1)
-            xl1 = x1c & (LANES - 1)
-            xt0 = x0c >> 7
-            xt1 = x1c >> 7
-            ylc = yl[:, sl]
-            wyc = wy[:, sl]
+            # Per 8-row output subblock (see _warp_kernel_pairs): source
+            # rows only matter to the subblock whose y0 hits them, so
+            # per-subblock [rmin, rmax] halves the row-loop waste.
+            for sb in range(RB // 8):
+                rs = slice(sb * 8, (sb + 1) * 8)
+                x0c = x0[rs, sl]
+                x1c = x0c + 1
+                wxc = wx[rs, sl]
+                # x>=Wp -> tile-match fails; x in [W, Wp) samples the zero
+                # pad; x<0 -> arithmetic >> keeps it off every tile. So
+                # horizontal zeros padding needs no explicit masks at all.
+                cw0 = 1.0 - wxc
+                cw1 = wxc
+                xl0 = x0c & (LANES - 1)
+                xl1 = x1c & (LANES - 1)
+                xt0 = x0c >> 7
+                xt1 = x1c >> 7
+                ylc = yl[rs, sl]
+                wyc = wy[rs, sl]
 
-            rmin = jnp.clip(jnp.min(ylc), 0, win_rows - 1)
-            rmax = jnp.clip(jnp.max(ylc) + 1, 0, win_rows - 1)
-            tmin = jnp.clip(jnp.min(xt0), 0, n_oc - 1)
-            tmax = jnp.clip(jnp.max(xt1), 0, n_oc - 1)
+                rmin = jnp.clip(jnp.min(ylc), 0, win_rows - 1)
+                rmax = jnp.clip(jnp.max(ylc) + 1, 0, win_rows - 1)
+                tmin = jnp.clip(jnp.min(xt0), 0, n_oc - 1)
+                tmax = jnp.clip(jnp.max(xt1), 0, n_oc - 1)
 
-            def row_body(r, accs, ylc=ylc, wyc=wyc, xl0=xl0, xl1=xl1,
-                         xt0=xt0, xt1=xt1, cw0=cw0, cw1=cw1,
-                         tmin=tmin, tmax=tmax):
-                # Row r serves both vertical taps: y0==r and y0+1==r.
-                wrow = jnp.where(ylc == r, 1.0 - wyc, 0.0) + jnp.where(
-                    ylc == r - 1, wyc, 0.0
+                def row_body(r, accs, ylc=ylc, wyc=wyc, xl0=xl0, xl1=xl1,
+                             xt0=xt0, xt1=xt1, cw0=cw0, cw1=cw1,
+                             tmin=tmin, tmax=tmax):
+                    # Row r serves both vertical taps: y0==r and y0+1==r.
+                    wrow = jnp.where(ylc == r, 1.0 - wyc, 0.0) + jnp.where(
+                        ylc == r - 1, wyc, 0.0
+                    )
+                    g8 = pl.multiple_of((r >> 3) * 8, 8)
+                    ridx = jnp.full((8, LANES), r & 7, jnp.int32)
+
+                    def tile_body(xt, accs, wrow=wrow, ridx=ridx):
+                        start = pl.multiple_of(xt * LANES, LANES)
+                        m0 = (xt0 == xt).astype(jnp.float32) * cw0
+                        m1 = (xt1 == xt).astype(jnp.float32) * cw1
+                        out = []
+                        for c in range(3):
+                            sub = wrefs[c][pl.ds(g8, 8), pl.ds(start, LANES)]
+                            # Exact row broadcast: constant-index sublane
+                            # gather to the 8 subblock rows.
+                            row8 = jnp.take_along_axis(sub, ridx, axis=0)
+                            gv0 = jnp.take_along_axis(row8, xl0, axis=1)
+                            gv1 = jnp.take_along_axis(row8, xl1, axis=1)
+                            out.append(accs[c] + wrow * (m0 * gv0 + m1 * gv1))
+                        return tuple(out)
+
+                    return jax.lax.fori_loop(tmin, tmax + 1, tile_body, accs)
+
+                zero = jnp.zeros((8, LANES), jnp.float32)
+                acc = jax.lax.fori_loop(
+                    rmin, rmax + 1, row_body, (zero, zero, zero)
                 )
-                g8 = pl.multiple_of((r >> 3) * 8, 8)
-                ridx = jnp.full((8, LANES), r & 7, jnp.int32)
-
-                def tile_body(xt, accs, wrow=wrow, ridx=ridx):
-                    start = pl.multiple_of(xt * LANES, LANES)
-                    m0 = (xt0 == xt).astype(jnp.float32) * cw0
-                    m1 = (xt1 == xt).astype(jnp.float32) * cw1
-                    out = []
-                    for c in range(3):
-                        sub = wrefs[c][pl.ds(g8, 8), pl.ds(start, LANES)]
-                        # Exact row broadcast: constant-index sublane gather
-                        # (8 rows) stacked to the RB output rows.
-                        row8 = jnp.take_along_axis(sub, ridx, axis=0)
-                        rowb = jnp.concatenate([row8] * (RB // 8), axis=0)
-                        gv0 = jnp.take_along_axis(rowb, xl0, axis=1)
-                        gv1 = jnp.take_along_axis(rowb, xl1, axis=1)
-                        out.append(accs[c] + wrow * (m0 * gv0 + m1 * gv1))
-                    return tuple(out)
-
-                return jax.lax.fori_loop(tmin, tmax + 1, tile_body, accs)
-
-            zero = jnp.zeros((RB, LANES), jnp.float32)
-            acc = jax.lax.fori_loop(rmin, rmax + 1, row_body, (zero, zero, zero))
-            for c in range(3):
-                out_ref[0, c, :, sl] = acc[c]
+                for c in range(3):
+                    out_ref[0, c, rs, sl] = acc[c]
 
     return kernel
 

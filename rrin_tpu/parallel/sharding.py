@@ -1,7 +1,7 @@
 """Mesh + NamedSharding helpers for data-parallel (and spatially-sharded)
 frame interpolation (SURVEY.md §7.2 step 5; BASELINE.json config 5).
 
-Design: params replicated (the cascade is ~37 MB fp32 — tiny next to HBM),
+Design: params replicated (the cascade is ~128 MB fp32 — small next to HBM),
 batch dim sharded over ``data``; optionally the H dim over ``spatial``.
 With inputs laid out this way, a plain ``jax.jit`` of the forward/train
 step emits all needed ICI collectives (halo exchanges for spatially-
