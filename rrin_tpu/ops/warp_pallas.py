@@ -148,25 +148,30 @@ def _warp_kernel_pairs(H: int, Wp: int, win_rows: int):
 
                 rmin = jnp.clip(jnp.min(ylc), 0, win_rows - 1)
                 rmax = jnp.clip(jnp.max(ylc) + 1, 0, win_rows - 1)
-                tmin = jnp.clip(jnp.min(xt0), 0, n_oc - 1)
-                tmax = jnp.clip(jnp.max(xt1), 0, n_oc - 1)
 
                 def row_body(r, accs, ylc=ylc, wyc=wyc, xl0=xl0, xl1=xl1,
-                             xt0=xt0, xt1=xt1, cw0=cw0, cw1=cw1,
-                             tmin=tmin, tmax=tmax):
+                             xt0=xt0, xt1=xt1, cw0=cw0, cw1=cw1):
                     wrow = jnp.where(ylc == r, 1.0 - wyc, 0.0) + jnp.where(
                         ylc == r - 1, wyc, 0.0
                     )
                     g8 = pl.multiple_of((r >> 3) * 8, 8)
                     ridx = jnp.full((8, LANES), r & 7, jnp.int32)
 
-                    def tile_body(xt, accs, wrow=wrow, ridx=ridx):
-                        start = pl.multiple_of(xt * LANES, LANES)
+                    out = list(accs)
+                    # STATIC tile visits {oc-1, oc, oc+1}: even zero flow
+                    # straddles tile edges (x0 = x - 0.5), and a DYNAMIC
+                    # tile fori_loop measured ~12x slower than static
+                    # slices (Mosaic cannot pipeline a dynamic-trip inner
+                    # loop). The fast-path guard bounds in-image |dx| so
+                    # no tap can land outside these three tiles.
+                    for xt in (oc - 1, oc, oc + 1):
+                        if xt < 0 or xt >= n_oc:
+                            continue
                         m0 = (xt0 == xt).astype(jnp.float32) * cw0
                         m1 = (xt1 == xt).astype(jnp.float32) * cw1
-                        out = list(accs)
                         for c in range(2):
-                            sub = wrefs[c][pl.ds(g8, 8), pl.ds(start, LANES)]
+                            sub = wrefs[c][
+                                pl.ds(g8, 8), xt * LANES:(xt + 1) * LANES]
                             row8 = jnp.take_along_axis(sub, ridx, axis=0)
                             gv0 = jnp.take_along_axis(row8, xl0, axis=1)
                             gv1 = jnp.take_along_axis(row8, xl1, axis=1)
@@ -180,9 +185,7 @@ def _warp_kernel_pairs(H: int, Wp: int, win_rows: int):
                             else:
                                 out[2] = out[2] + wrow * (
                                     m0 * lo(u0) + m1 * lo(u1))
-                        return tuple(out)
-
-                    return jax.lax.fori_loop(tmin, tmax + 1, tile_body, accs)
+                    return tuple(out)
 
                 zero = jnp.zeros((8, LANES), jnp.float32)
                 acc = jax.lax.fori_loop(
@@ -288,12 +291,9 @@ def _warp_kernel(H: int, Wp: int, win_rows: int):
 
                 rmin = jnp.clip(jnp.min(ylc), 0, win_rows - 1)
                 rmax = jnp.clip(jnp.max(ylc) + 1, 0, win_rows - 1)
-                tmin = jnp.clip(jnp.min(xt0), 0, n_oc - 1)
-                tmax = jnp.clip(jnp.max(xt1), 0, n_oc - 1)
 
                 def row_body(r, accs, ylc=ylc, wyc=wyc, xl0=xl0, xl1=xl1,
-                             xt0=xt0, xt1=xt1, cw0=cw0, cw1=cw1,
-                             tmin=tmin, tmax=tmax):
+                             xt0=xt0, xt1=xt1, cw0=cw0, cw1=cw1):
                     # Row r serves both vertical taps: y0==r and y0+1==r.
                     wrow = jnp.where(ylc == r, 1.0 - wyc, 0.0) + jnp.where(
                         ylc == r - 1, wyc, 0.0
@@ -301,22 +301,23 @@ def _warp_kernel(H: int, Wp: int, win_rows: int):
                     g8 = pl.multiple_of((r >> 3) * 8, 8)
                     ridx = jnp.full((8, LANES), r & 7, jnp.int32)
 
-                    def tile_body(xt, accs, wrow=wrow, ridx=ridx):
-                        start = pl.multiple_of(xt * LANES, LANES)
+                    out = list(accs)
+                    # STATIC tile visits (see _warp_kernel_pairs).
+                    for xt in (oc - 1, oc, oc + 1):
+                        if xt < 0 or xt >= n_oc:
+                            continue
                         m0 = (xt0 == xt).astype(jnp.float32) * cw0
                         m1 = (xt1 == xt).astype(jnp.float32) * cw1
-                        out = []
                         for c in range(3):
-                            sub = wrefs[c][pl.ds(g8, 8), pl.ds(start, LANES)]
+                            sub = wrefs[c][
+                                pl.ds(g8, 8), xt * LANES:(xt + 1) * LANES]
                             # Exact row broadcast: constant-index sublane
                             # gather to the 8 subblock rows.
                             row8 = jnp.take_along_axis(sub, ridx, axis=0)
                             gv0 = jnp.take_along_axis(row8, xl0, axis=1)
                             gv1 = jnp.take_along_axis(row8, xl1, axis=1)
-                            out.append(accs[c] + wrow * (m0 * gv0 + m1 * gv1))
-                        return tuple(out)
-
-                    return jax.lax.fori_loop(tmin, tmax + 1, tile_body, accs)
+                            out[c] = out[c] + wrow * (m0 * gv0 + m1 * gv1)
+                    return tuple(out)
 
                 zero = jnp.zeros((8, LANES), jnp.float32)
                 acc = jax.lax.fori_loop(
@@ -369,6 +370,16 @@ def _dy_fast_path_ok(sy: jnp.ndarray, height: int) -> jnp.ndarray:
     bound = win_rows // 2 - RB // 2 - 2
     rows = jax.lax.broadcasted_iota(jnp.float32, sy.shape, 1)
     return jnp.max(jnp.abs(sy - rows)) <= bound
+
+
+def _fast_path_ok(sy: jnp.ndarray, sx: jnp.ndarray, height: int) -> jnp.ndarray:
+    """Fast-path routability: vertical displacements fit the VMEM window
+    AND horizontal displacements stay within one 128-lane tile of the
+    output chunk (the kernel visits the three STATIC tiles {oc-1, oc,
+    oc+1} — a dynamic-trip tile loop measured ~12x slower in Mosaic)."""
+    cols = jax.lax.broadcasted_iota(jnp.float32, sx.shape, 2)
+    dx_ok = jnp.max(jnp.abs(sx - cols)) <= 126.0
+    return jnp.logical_and(_dy_fast_path_ok(sy, height), dx_ok)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -445,7 +456,8 @@ def _warp_one_tpu(
         return warp_bilinear(src, flow, align_corners=align_corners)
 
     return jax.lax.cond(
-        _dy_fast_path_ok(sy[:, :, :w], h), fast, slow, operand=None
+        _fast_path_ok(sy[:, :, :w], sx[:, :, :w], h), fast, slow,
+        operand=None,
     )
 
 
