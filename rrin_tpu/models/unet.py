@@ -254,12 +254,17 @@ def _packed_m0(w: int) -> int:
 
 def packed_branch_flags(h: int, w: int, cfg: ModelConfig):
     """The static branch configuration of unet_apply_packed at this shape:
-    (l2_kernel, l3_kernel, fuse_d1, fuse_d2, fuse_u3, fuse_u4, l4_kernel).
-    Weight-side prep (models/rrin.prepare_packed_params) is only valid
-    across shapes with IDENTICAL flags — they decide which sites exist,
-    which carry int8, and which prep FORMAT (conv vs fused up/pool) a
-    site's constants use."""
-    from rrin_tpu.ops.conv_packed import min_h, supports_pool, supports_up
+    (l2_kernel, l3_kernel, fuse_d1, fuse_d2, fuse_u3, fuse_u4, l4_kernel,
+    fuse_u2). Weight-side prep (models/rrin.prepare_packed_params) is only
+    valid across shapes with IDENTICAL flags — they decide which sites
+    exist, which carry int8, and which prep FORMAT (conv vs fused
+    up/pool/up-m) a site's constants use."""
+    from rrin_tpu.ops.conv_packed import (
+        min_h,
+        supports_pool,
+        supports_up,
+        supports_up_m,
+    )
     from rrin_tpu.ops.packed import PackedSpec
 
     m0 = _packed_m0(w)
@@ -296,8 +301,20 @@ def packed_branch_flags(h: int, w: int, cfg: ModelConfig):
         l3_kernel and hp4 >= min_h(k4) and k4 % 2 == 1
         and max(w4c, w5c) <= 4 * 128
     )
+    # M-doubling fused upsample at the l3->l2 re-entry (u2c1): input is
+    # the u1c2 output in (P=1, m3) geometry; output (P=1, m0). Routable
+    # only when the TRUE heights line up (h2 % 8 == 0 keeps hp2 == h2).
+    m3 = -(-(w // 8) // 8) * 8
+    fuse_u2 = (
+        l2_kernel
+        and l3_kernel
+        and supports_up_m(
+            PackedSpec(p=1, c=w4c, w=w // 8, off=0, m=m3),
+            3, w3c, h // 8, m0, _PK["u2c1"],
+        )
+    )
     return (l2_kernel, l3_kernel, fuse_d1, fuse_d2, fuse_u3, fuse_u4,
-            l4_kernel)
+            l4_kernel, fuse_u2)
 
 
 def unet_apply_packed(
@@ -328,6 +345,7 @@ def unet_apply_packed(
     from rrin_tpu.ops.conv_packed import (
         conv_packed,
         conv_pool_packed,
+        conv_up_m_packed,
         conv_up_packed,
         min_h,
         supports_pool,
@@ -349,7 +367,7 @@ def unet_apply_packed(
     # Levels 2 and 3 run the P=1 kernel only when their H is still
     # kernel-shaped; otherwise those convs stay plain XLA (same math).
     (l2_kernel, l3_kernel, fuse_d1, fuse_d2, _fu3, _fu4,
-     _l4) = packed_branch_flags(h, w, cfg)
+     _l4, fuse_u2) = packed_branch_flags(h, w, cfg)
     m3 = -(-(w // 8) // 8) * 8
 
     dt = x.dtype
@@ -382,6 +400,10 @@ def unet_apply_packed(
         _CARRY.add("c2")
     if fuse_d2 and l2_kernel:
         _CARRY.add("d1c2")
+    if fuse_u2:
+        # u1c2's only consumer is the M-doubling fused up kernel, which
+        # reads the half-res window directly — int8 halves its DMA bytes.
+        _CARRY.add("u1c2")
 
     def out_q(site):
         if absmax is None or site not in _CARRY:
@@ -454,6 +476,11 @@ def unet_apply_packed(
         return upsample_2x_bilinear(t)
 
     # Stem + down1: P=4 then P=2, packed end-to-end.
+    # (Measured dead end: quantizing x BEFORE this pack — so the pack
+    # writes int8 once — dropped 1080p int8 16.0 -> 14.1 fps on TPU. The
+    # int8 NHWC intermediate takes XLA's (32,128)-tiled layout with a
+    # tiny channel minor dim, costing more than the saved bf16 pass.
+    # Keep quantize on the packed tensor, kernel-side.)
     xp, sp = pack(x, 4, _PK["entry"], m0, c_pad=32)
     xp, sp = conv([(xp, sp, cin)], p["conv1"], _PK["c1"], site="c1")
     s1, s1s = conv([(xp, sp, 32)], p["conv2"], _PK["c2"], site="c2")
@@ -566,15 +593,33 @@ def unet_apply_packed(
             [(t3, t3s, 256), (s4p, s4s, 256)], p["up1"]["conv2"], 0,
             site="u1c2",
         )
-        xn = unpack(t3, t3s)[:, :h3]
+        xn = None if fuse_u2 else unpack(t3, t3s)[:, :h3]
     else:
         s4 = _down(s3n, p["down3"], s)
         xn = _down(s4, p["down4"], s)
         xn = _up(xn, s4, p["up1"], s)
 
-    # up2 (level 2): plain upsample, then packed convs with fused concat.
-    xu = up_n(xn)
-    if l2_kernel:
+    # up2 (level 2): the l3->l2 re-entry. With fuse_u2 the M-doubling
+    # fused upsample+conv consumes the u1c2 output PACKED (m3 geometry,
+    # carried int8) and the doubled tensor never materializes; otherwise
+    # plain upsample, then packed convs with fused concat.
+    if fuse_u2:
+        am = amax_for("u2c1")
+        pr, co = _pc("u2c1")
+        t, ts = conv_up_m_packed(
+            t3, t3s, 256, p["up2"]["conv1"]["w"], p["up2"]["conv1"]["b"],
+            m0, _PK["u2c1"], h3, s,
+            in_absmax=None if am is None else am[0],
+            out_absmax=out_q("u2c1"), out_dtype=dt, prepared=pr,
+            collect=co,
+        )
+        # fuse_u2 gates h2 % 8 == 0, so hp2 == h2: no re-zero needed.
+        t, ts = conv(
+            [(t, ts, 128), (s3, s3s, 128)], p["up2"]["conv2"],
+            _PK["u2c2"], site="u2c2",
+        )
+    elif l2_kernel:
+        xu = up_n(xn)
         if hp2 > h2:
             xu = jnp.pad(xu, ((0, 0), (0, hp2 - h2), (0, 0), (0, 0)))
         t, ts = pack(xu, 1, _PK["l2"], m0)
@@ -587,6 +632,7 @@ def unet_apply_packed(
         )
         t = t[:, :h2]  # back to the true level-2 height for u3c1
     else:
+        xu = up_n(xn)
         xn = _conv_act(xu, p["up2"]["conv1"], s)
         xn = _conv_act(
             jnp.concatenate([xn, s3n], axis=-1), p["up2"]["conv2"], s

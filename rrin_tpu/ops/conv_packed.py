@@ -1448,3 +1448,414 @@ def conv_packed(
             ),
         )
     return y, out_spec
+
+
+# ---------------------------------------------------------------------------
+# Fused 2x-bilinear-upsample + conv at the l3->l2 re-entry (M-doubling).
+#
+# The u3/u4 fused-up kernel doubles P with M constant; at the level-3->2
+# boundary P is already 1, so the width doubling must double M instead
+# (m3 -> m0 storage groups). Round 2 left this boundary MATERIALIZED
+# (plain upsample + pack + quantize, the "u2-boundary" lever of
+# docs/PERFORMANCE.md): the only remaining full-size XLA resample in the
+# int8 frame. This kernel constructs the upsampled rows in VMEM from a
+# HALF-res window (the same H recipe as _kernel_body_up) and expands W by
+# sublane arithmetic:
+#
+#   * W: out pixel 2s = 0.25*src[s-1] + 0.75*src[s] and out pixel
+#     2s+1 = 0.75*src[s] + 0.25*src[s+1] (torch align_corners=False).
+#     E/O sequences cost one sublane roll each; the interleave is a
+#     (m,2,L)->(2m,L) sublane reshape (Mosaic-lowerable, probed). The
+#     W-edge clamp collapses to the same multiplicative mask as the
+#     P-doubling kernel: x 4/3 at the first/last real pixel (the
+#     out-of-range tap hit a guard zero instead of the clamped edge
+#     value), x 0 beyond the last real pixel (kills the 0.25 leak into
+#     the guard), x 1 elsewhere; int8 folds 127/ax into the same mask.
+#   * Contraction: the constructed rows are placed in the OUTPUT storage
+#     geometry (m_out groups at off_out), so B2/bias/scale are exactly
+#     :func:`prep_conv`'s for a pseudo input spec describing the
+#     upsampled tensor, and the dots are the plain P=1 kernel's.
+#
+# Routability is narrower than the P-doubling kernel: the true (unpadded)
+# source height must give h_out % RB == 0 (the H-padded-l2 shapes keep
+# the materialized path), and the doubled source groups must fit the
+# output window (off_out + 2*m_src <= m_out + hh).
+# ---------------------------------------------------------------------------
+
+
+def supports_up_m(
+    spec: PackedSpec, k: int, cout: int, h_src: int, m_out: int,
+    off_out: int,
+) -> bool:
+    """Static routability of the M-doubling fused upsample+conv site.
+    ``spec`` describes the HALF-res P=1 input; ``h_src`` its TRUE height
+    (the array may carry extra H-pad rows, never read)."""
+    hh = (k - 1) // 2
+    return (
+        spec.p == 1
+        and spec.off == 0
+        and k % 2 == 1
+        and 3 <= k <= 5
+        and k * cout > LANES  # no fuse_dy B2 layout in this kernel
+        and (2 * h_src) % RB == 0
+        and h_src >= WIN_SRC
+        and spec.m % 8 == 0
+        and m_out % 8 == 0
+        and cout <= 4 * LANES
+        and spec.c <= 4 * LANES
+        and off_out + 2 * spec.w <= m_out
+        and off_out + 2 * spec.m <= m_out + hh
+    )
+
+
+def prep_conv_up_m(
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    k: int,
+    cout: int,
+    m_out: int,
+    off_out: int,
+    absmax=None,
+    out_absmax=None,
+    dtype=jnp.bfloat16,
+    int8_input: bool = False,
+) -> dict:
+    """Weight-side constants of one M-doubling fused-upsample conv site.
+    B2/bias/scale come from :func:`prep_conv` against the pseudo spec of
+    the (never materialized) upsampled tensor; ``inva`` quantizes the
+    constructed rows in-register (1 for an already-int8 input — the
+    upsample is convex, so the input's absmax calibrates the rows)."""
+    spec_up = PackedSpec(p=1, c=spec.c, w=2 * spec.w, off=off_out, m=m_out)
+    prep = dict(
+        prep_conv(
+            w, bias, (spec_up,), (real_c,), k, cout,
+            absmax=None if absmax is None else (absmax,),
+            out_absmax=out_absmax, dtype=dtype,
+        )
+    )
+    if absmax is not None:
+        ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
+        if int8_input:
+            prep["inva"] = jnp.ones((1, 1), jnp.float32)
+        else:
+            prep["inva"] = (127.0 / ax).reshape(1, 1)
+    return prep
+
+
+def _kernel_body_up_m(
+    *, k: int, q: int, m_src: int, m_out: int, h_src: int, wl: int,
+    s_shift: int, lin: int, lout: int, cout: int, w_half: int,
+    off_out: int, slope: Optional[float], out_dtype, quant: bool = False,
+    quant_out: bool = False,
+):
+    hh = (k - 1) // 2
+    h_out = 2 * h_src
+    n_rows = RB + 2 * hh
+    acc_dt = jnp.int32 if quant else jnp.float32
+    seg = wl + off_out  # first window column of the upsampled segment
+
+    def kernel(*refs):
+        if quant:
+            (x_ref, b2_ref, bias_ref, scale_ref, inva_ref, out_ref,
+             swin, uwin, cmask, sem) = refs
+        else:
+            x_ref, b2_ref, bias_ref, out_ref, swin, uwin, cmask, sem = refs
+            scale_ref = inva_ref = None
+        bi = pl.program_id(0)
+        ri = pl.program_id(1)
+        r0 = ri * RB
+        base = r0 // 2
+        ws = jnp.clip(((base - hh) >> 3) << 3, 0, h_src - WIN_SRC)
+        ws = pl.multiple_of(ws, 8)
+
+        cpy = pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(ws, WIN_SRC), :, :], swin, sem
+        )
+        cpy.start()
+
+        mw = uwin.shape[1]
+
+        @pl.when(jnp.logical_and(bi == 0, ri == 0))
+        def _():
+            # Static guard columns of the row buffer (zero once).
+            uwin[:, :seg, :] = jnp.zeros_like(uwin[:, :seg, :])
+            if mw > seg + 2 * m_src:
+                uwin[:, seg + 2 * m_src:, :] = jnp.zeros_like(
+                    uwin[:, seg + 2 * m_src:, :]
+                )
+            # Edge-correction mask over the upsampled pixel sequence.
+            po = jax.lax.broadcasted_iota(jnp.int32, (2 * m_src, lin), 0)
+            mask = jnp.ones((2 * m_src, lin), jnp.float32)
+            mask = jnp.where(
+                (po == 0) | (po == 2 * w_half - 1), 4.0 / 3.0, mask
+            )
+            mask = jnp.where(po >= 2 * w_half, 0.0, mask)
+            if quant:
+                mask = mask * inva_ref[0, 0]
+            cmask[...] = mask
+
+        # Output guard mask (P=1).
+        mi = jax.lax.broadcasted_iota(jnp.int32, (m_out, lout), 0)
+        pixo = mi - off_out
+        gmask = jnp.logical_and(pixo >= 0, pixo < 2 * w_half)
+
+        cpy.wait()
+
+        # Construct the n_rows upsampled rows this block needs.
+        for i in range(n_rows):
+            du = i - hh
+            o0 = (du - 1) >> 1
+            w0, w1 = (0.75, 0.25) if (du & 1) else (0.25, 0.75)
+            j0 = jnp.clip(base + o0, 0, h_src - 1)
+            j1 = jnp.clip(base + o0 + 1, 0, h_src - 1)
+            hrow = (w0 * swin[j0 - ws].astype(jnp.float32)
+                    + w1 * swin[j1 - ws].astype(jnp.float32))
+            prv = jnp.concatenate(
+                [jnp.zeros_like(hrow[:1]), hrow[:-1]], axis=0
+            )
+            nxt = jnp.concatenate(
+                [hrow[1:], jnp.zeros_like(hrow[:1])], axis=0
+            )
+            even = 0.25 * prv + 0.75 * hrow
+            odd = 0.75 * hrow + 0.25 * nxt
+            urow = jnp.stack([even, odd], axis=1).reshape(2 * m_src, lin)
+            urow = urow * cmask[...]
+            u = r0 + du
+            valid = jnp.logical_and(u >= 0, u < h_out)
+            urow = jnp.where(valid, urow, 0.0)
+            if quant:
+                urow = jnp.clip(jnp.round(urow), -127.0, 127.0)
+            uwin[i, pl.ds(seg, 2 * m_src), :] = urow.astype(uwin.dtype)
+
+        for yo in range(RB):
+            acc = jnp.zeros((m_out, lout), acc_dt)
+            for dy in range(k):
+                for qi in range(q):
+                    cs = wl + s_shift + qi
+                    acc = acc + jnp.dot(
+                        uwin[yo + dy, pl.ds(cs, m_out), :],
+                        b2_ref[dy * q + qi],
+                        preferred_element_type=acc_dt,
+                    )
+            if quant:
+                acc = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+            else:
+                acc = acc + bias_ref[:]
+            if slope is not None:
+                acc = jnp.where(acc >= 0, acc, slope * acc)
+            acc = jnp.where(gmask, acc, 0.0)
+            if quant_out:
+                acc = jnp.clip(jnp.round(acc), -127.0, 127.0)
+            out_ref[0, yo] = acc.astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "real_c", "k", "cout", "m_out", "off_out",
+                     "h_src", "slope", "out_dtype"),
+)
+def _conv_up_m_impl(
+    x: jnp.ndarray,
+    prep: dict,
+    spec: PackedSpec,
+    real_c: int,
+    k: int,
+    cout: int,
+    m_out: int,
+    off_out: int,
+    h_src: int,
+    slope: Optional[float],
+    absmax: Optional[jnp.ndarray] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+) -> jnp.ndarray:
+    b, h_arr, m_src, lin = x.shape
+    assert m_src == spec.m and lin == _round_up(spec.c, LANES), (
+        x.shape, spec)
+    assert h_arr >= h_src, (h_arr, h_src)
+    hh = (k - 1) // 2
+    q = q_count(k, 1)
+    h_out = 2 * h_src
+    quant = absmax is not None
+    assert out_absmax is None or quant
+    assert quant or x.dtype != jnp.int8
+    dtype = out_dtype or (jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype)
+    if out_absmax is not None:
+        dtype = jnp.int8
+    assert h_out % RB == 0 and h_src >= WIN_SRC, (h_out, h_src)
+
+    spec_up = PackedSpec(p=1, c=spec.c, w=2 * spec.w, off=off_out, m=m_out)
+    (wl,), (s,), (lin_up,) = _conv_statics((spec_up,), k, off_out)
+    assert lin_up == lin, (lin_up, lin)
+    lout = cout
+    mw = wl + m_out + max(0, s + q - 1)
+    assert wl + off_out + 2 * m_src <= mw, (wl, off_out, m_src, mw)
+
+    b2 = prep["b2s"][0]
+    bias_lanes = prep["bias"]
+    scale_lanes = prep.get("scale")
+    inva = prep.get("inva")
+    win_dt = jnp.int8 if quant else dtype
+    kernel = _kernel_body_up_m(
+        k=k, q=q, m_src=m_src, m_out=m_out, h_src=h_src, wl=wl,
+        s_shift=s, lin=lin, lout=lout, cout=cout, w_half=spec.w,
+        off_out=off_out, slope=slope, out_dtype=dtype, quant=quant,
+        quant_out=out_absmax is not None,
+    )
+    operands = [x, b2, bias_lanes]
+    n_vmem = 2
+    if quant:
+        operands += [scale_lanes, inva]
+        n_vmem = 4
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h_out // RB),
+        out_shape=jax.ShapeDtypeStruct((b, h_out, m_out, lout), dtype),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem
+        ),
+        out_specs=pl.BlockSpec(
+            (1, RB, m_out, lout), lambda bi, ri: (bi, ri, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_SRC, m_src, lin), x.dtype),
+            pltpu.VMEM((RB + 2 * hh, mw, lin), win_dt),
+            pltpu.VMEM((2 * m_src, lin), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(*operands)
+
+
+def _conv_up_m_xla(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    m_out: int,
+    off_out: int,
+    h_src: int,
+    slope: Optional[float],
+    absmax: Optional[jnp.ndarray] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Reference/fallback: unpack -> upsample -> XLA conv -> repack at
+    (P=1, m_out). Quantization semantics identical to the kernel (see
+    :func:`_conv_up_packed_xla` — the upsample is linear, so
+    round(up(q)) == quantize(up(q * ax/127)) for an int8 input)."""
+    from rrin_tpu.ops.resize import upsample_2x_bilinear
+
+    if absmax is None:
+        xn = unpack(x, spec, c=real_c)[:, :h_src]
+        xu = upsample_2x_bilinear(xn)
+        y = _conv_xla(xu, w.astype(xu.dtype), bias, slope)
+        if out_dtype is not None:
+            y = y.astype(out_dtype)
+        yp, _ = pack(y, 1, off_out, m_out)
+        return yp
+
+    ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
+    xn = unpack(x, spec, c=real_c)[:, :h_src].astype(jnp.float32)
+    if x.dtype == jnp.int8:
+        xn = xn * (ax / 127.0)
+    xu = upsample_2x_bilinear(xn)
+    wi = w
+    if real_c < spec.c:
+        wi = jnp.pad(wi, ((0, 0), (0, 0), (0, spec.c - real_c), (0, 0)))
+    (wq,), sw = _quantize_weights([wi], (absmax,))
+    xdq = _quantize_act(xu, ax).astype(jnp.float32) * (ax / 127.0)
+    wd = wq.astype(jnp.float32) * (sw / 127.0)
+    y = _conv_xla(xdq, wd[:, :, :real_c, :], bias, slope)
+    if out_absmax is not None:
+        y = _quantize_act(y, out_absmax)
+    else:
+        y = y.astype(
+            out_dtype or (jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype)
+        )
+    yp, _ = pack(y, 1, off_out, m_out)
+    return yp
+
+
+def conv_up_m_packed(
+    x: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    m_out: int,
+    off_out: int,
+    h_src: int,
+    slope: Optional[float] = None,
+    in_absmax: Optional[jnp.ndarray] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+    prepared: Optional[dict] = None,
+    collect=None,
+) -> Tuple[jnp.ndarray, PackedSpec]:
+    """Fused 2x-bilinear-upsample + conv2d(stride 1, SAME) + bias + LReLU
+    across the M-doubling (P=1 -> P=1) level boundary.
+
+    ``x``/``spec`` describe the HALF-resolution P=1 packed input with
+    ``h_src`` TRUE rows (extra H-pad rows in the array are never read);
+    the result is packed at (P=1, ``m_out``, ``off_out``) with 2*h_src
+    rows. The doubled tensor is never materialized in HBM.
+    Inference-only (no VJP); Mosaic on TPU, XLA elsewhere. Quantization
+    options as in :func:`conv_up_packed`.
+    """
+    k = w.shape[0]
+    cout = w.shape[3]
+    assert real_c == w.shape[2], (real_c, w.shape)
+    assert out_absmax is None or in_absmax is not None
+    assert supports_up_m(spec, k, cout, h_src, m_out, off_out), (
+        spec, k, cout, h_src, m_out, off_out)
+    xp = pad_lanes(x, _round_up(spec.c, LANES))
+    out_spec = PackedSpec(p=1, c=cout, w=2 * spec.w, off=off_out, m=m_out)
+    if prepared is None:
+        prepared = prep_conv_up_m(
+            w, bias, spec, real_c, k, cout, m_out, off_out,
+            in_absmax, out_absmax,
+            dtype=out_dtype or (jnp.bfloat16 if xp.dtype == jnp.int8
+                                else xp.dtype),
+            int8_input=xp.dtype == jnp.int8,
+        )
+    if collect is not None:
+        collect[0][collect[1]] = prepared
+    if _FORCE_KERNEL:  # interpret-mode tests on CPU
+        y = _conv_up_m_impl(
+            xp, prepared, spec, real_c, k, cout, m_out, off_out, h_src,
+            slope, in_absmax, out_absmax, out_dtype,
+        )
+        return y, out_spec
+    if in_absmax is None:
+        y = jax.lax.platform_dependent(
+            xp, prepared, w, bias,
+            tpu=lambda a, pr, ww, bb: _conv_up_m_impl(
+                a, pr, spec, real_c, k, cout, m_out, off_out, h_src,
+                slope, out_dtype=out_dtype,
+            ),
+            default=lambda a, pr, ww, bb: _conv_up_m_xla(
+                a, ww, bb, spec, real_c, m_out, off_out, h_src, slope,
+                out_dtype=out_dtype,
+            ),
+        )
+    else:
+        oam = (out_absmax,) if out_absmax is not None else ()
+        y = jax.lax.platform_dependent(
+            xp, prepared, w, bias, in_absmax, *oam,
+            tpu=lambda a, pr, ww, bb, am, *oa: _conv_up_m_impl(
+                a, pr, spec, real_c, k, cout, m_out, off_out, h_src,
+                slope, am, oa[0] if oa else None, out_dtype,
+            ),
+            default=lambda a, pr, ww, bb, am, *oa: _conv_up_m_xla(
+                a, ww, bb, spec, real_c, m_out, off_out, h_src, slope,
+                am, oa[0] if oa else None, out_dtype,
+            ),
+        )
+    return y, out_spec

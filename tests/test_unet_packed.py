@@ -87,6 +87,24 @@ class TestPackedUnet:
             cpk._FORCE_KERNEL = False
         assert _psnr(want, got) > 60, _psnr(want, got)
 
+    @pytest.mark.slow
+    def test_kernel_interpret_matches_plain_l3_fused_u2(self, rng):
+        """h=192 in interpret mode: the l3 branch plus the M-doubling
+        fused u2 re-entry (fuse_u2) through the Mosaic kernel path."""
+        from rrin_tpu.models.unet import packed_branch_flags
+
+        assert packed_branch_flags(192, 64, CFG)[7]  # fuse_u2 on
+        p = unet_init(jax.random.key(6), 6, 4, CFG)
+        x = jnp.asarray(rng.random((1, 192, 64, 6), dtype=np.float32))
+        want = np.asarray(unet_apply(p, x, CFG))
+        cpk._FORCE_KERNEL = True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got = np.asarray(unet_apply_packed(p, x, CFG))
+        finally:
+            cpk._FORCE_KERNEL = False
+        assert _psnr(want, got) > 60, _psnr(want, got)
+
     def test_supported_gate(self):
         assert packed_supported(48, 64, CFG)
         assert not packed_supported(32, 64, CFG)  # level-1 H below window
