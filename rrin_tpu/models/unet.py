@@ -462,10 +462,12 @@ def unet_apply_packed(
 
     def pool_n(t):
         # Both pool_n's and up_n's int8 branches are DEFENSIVE: no carried
-        # -int8 tensor currently reaches a materialized resample (d4c2 and
-        # u1c2 are not in _CARRY — routing int8 through materialized
-        # pools/upsamples measured +12 ms/frame, see the _CARRY note).
-        # Kept so a future carry-plan change degrades gracefully.
+        # -int8 tensor currently reaches a MATERIALIZED resample (d4c2 is
+        # never in _CARRY, and u1c2 only joins it under fuse_u2, where its
+        # sole consumer is the M-doubling kernel's direct window read —
+        # routing int8 through materialized pools/upsamples measured
+        # +12 ms/frame, see the _CARRY note). Kept so a future carry-plan
+        # change degrades gracefully.
         if t.dtype == jnp.int8:
             return _rq(avg_pool_2x(t.astype(jnp.float32)))
         return avg_pool_2x(t)
