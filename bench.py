@@ -35,9 +35,15 @@ TORCH_CPU_BASELINE_FPS = {
     "1080p": 0.00528,
     "720p": 0.0281,
     "vimeo": 0.168,
+    "4k": 0.000971,  # measured 2026-08-17 (1030.4 s/frame)
 }
 
-SIZES = {"1080p": (1088, 1920), "720p": (736, 1280), "vimeo": (256, 448)}
+SIZES = {
+    "1080p": (1088, 1920),
+    "720p": (736, 1280),
+    "vimeo": (256, 448),
+    "4k": (2176, 3840),
+}
 
 
 def _psnr_db(ref: np.ndarray, got: np.ndarray) -> float:
@@ -45,7 +51,7 @@ def _psnr_db(ref: np.ndarray, got: np.ndarray) -> float:
     got = np.asarray(got, np.float64)
     mse = float(np.mean((ref - got) ** 2))
     if mse == 0.0:
-        return float("inf")
+        return 999.0  # bit-exact; a finite cap keeps the JSON line valid
     peak = float(np.max(np.abs(ref))) or 1.0
     return 10.0 * np.log10(peak * peak / mse)
 
@@ -158,6 +164,72 @@ def run_selfcheck() -> dict:
                  np.asarray(gotplq, np.float64)), 1
     )
 
+    # M-doubling fused upsample+conv kernel (the l3->l2 re-entry,
+    # fuse_u2), float and int8-in/int8-out.
+    from rrin_tpu.ops.conv_packed import (
+        _conv_up_m_xla,
+        conv_up_m_packed,
+    )
+    from rrin_tpu.ops.packed import PackedSpec, pad_lanes
+
+    cm = jnp.asarray(rng.random((1, 16, 14, 256), dtype=np.float32)) - 0.5
+    cmp_, _ = pack(cm, p=1, off=0, m=16)
+    cmspec = PackedSpec(p=1, c=256, w=14, off=0, m=16)
+    wm = jnp.asarray(
+        (rng.random((3, 3, 256, 128), dtype=np.float32) - 0.5) * 0.3
+    )
+    bm = jnp.asarray((rng.random(128, dtype=np.float32) - 0.5))
+    gotm, _ = conv_up_m_packed(cmp_, cmspec, 256, wm, bm, 32, 0, 16, 0.1)
+    refm = _conv_up_m_xla(
+        pad_lanes(cmp_, 256), wm, bm, cmspec, 256, 32, 0, 16, 0.1
+    )
+    report["conv_up_m_psnr_db"] = round(
+        _psnr_db(np.asarray(refm), np.asarray(gotm)), 1
+    )
+    axm = jnp.max(jnp.abs(cm))
+    cmq = jnp.clip(jnp.round(cmp_.astype(jnp.float32) * (127.0 / axm)),
+                   -127, 127).astype(jnp.int8)
+    oaxm = jnp.float32(8.0)
+    gotmq, _ = conv_up_m_packed(cmq, cmspec, 256, wm, bm, 32, 0, 16, 0.1,
+                                in_absmax=axm, out_absmax=oaxm)
+    refmq = _conv_up_m_xla(
+        pad_lanes(cmq, 256), wm, bm, cmspec, 256, 32, 0, 16, 0.1,
+        axm, oaxm,
+    )
+    report["conv_up_m_int8_psnr_db"] = round(
+        _psnr_db(np.asarray(refmq, np.float64),
+                 np.asarray(gotmq, np.float64)), 1
+    )
+
+    # Phase-folded fused upsample+conv kernel (the generation-2 up3/up4
+    # fast path), float and int8-in/int8-out, at the real u4c1 geometry
+    # (P=2, odd off_out).
+    from rrin_tpu.ops.conv_packed import _conv_up_f_xla, conv_up_f_packed
+
+    cf = jnp.asarray(rng.random((1, 32, 216, 64), dtype=np.float32)) - 0.5
+    cfp, cfspec = pack(cf, p=2, off=0, m=112)
+    wf = jnp.asarray(
+        (rng.random((3, 3, 64, 32), dtype=np.float32) - 0.5) * 0.3
+    )
+    bf = jnp.asarray((rng.random(32, dtype=np.float32) - 0.5))
+    gotf, _ = conv_up_f_packed(cfp, cfspec, 64, wf, bf, 3, 0.1)
+    reff = _conv_up_f_xla(cfp, wf, bf, cfspec, 64, 3, 0.1)
+    report["conv_up_f_psnr_db"] = round(
+        _psnr_db(np.asarray(reff), np.asarray(gotf)), 1
+    )
+    axf = jnp.max(jnp.abs(cf))
+    cfq = jnp.clip(jnp.round(cfp * (127.0 / axf)), -127, 127).astype(
+        jnp.int8
+    )
+    oaxf = jnp.float32(8.0)
+    gotfq, _ = conv_up_f_packed(cfq, cfspec, 64, wf, bf, 3, 0.1,
+                                in_absmax=axf, out_absmax=oaxf)
+    reffq = _conv_up_f_xla(cfq, wf, bf, cfspec, 64, 3, 0.1, axf, oaxf)
+    report["conv_up_f_int8_psnr_db"] = round(
+        _psnr_db(np.asarray(reffq, np.float64),
+                 np.asarray(gotfq, np.float64)), 1
+    )
+
     # int8 variants of both packed kernels vs the fake-quant XLA fallback
     # (same int8 grid; difference is int32-exact vs f32 accumulation).
     amax = (jnp.max(jnp.abs(a)), jnp.max(jnp.abs(bb)))
@@ -185,6 +257,10 @@ def run_selfcheck() -> dict:
         and report["conv_up_int8_psnr_db"] > 40.0
         and report["conv_pool_psnr_db"] > 60.0
         and report["conv_pool_int8_psnr_db"] > 40.0
+        and report["conv_up_m_psnr_db"] > 60.0
+        and report["conv_up_m_int8_psnr_db"] > 40.0
+        and report["conv_up_f_psnr_db"] > 60.0
+        and report["conv_up_f_int8_psnr_db"] > 40.0
     )
     return report
 

@@ -167,6 +167,16 @@ def _forward_jit(
     if packed and remat:
         raise ValueError("packed=True is inference-only (no remat/VJP)")
     use_packed = packed and packed_supported(i0.shape[-3], i0.shape[-2], cfg)
+    if use_packed and quant_stats is None:
+        from rrin_tpu.models.unet import _packed_m0
+
+        # Scoped-VMEM bound: the bf16 packed kernels' per-block windows
+        # scale with the group count; above m0 ~ 800 (4K-class widths,
+        # w > ~3200) several sites measured over the 16 MB scoped limit.
+        # int8 windows are half the bytes and fit — 4K single-chip serves
+        # via --int8 (or spatially sharded, SURVEY §2.3); bf16 falls back
+        # to the plain path here.
+        use_packed = _packed_m0(i0.shape[-2]) <= 800
     if quant_stats is not None and not use_packed:
         raise ValueError(
             "quant_stats (int8) requires the packed fast path — pass "

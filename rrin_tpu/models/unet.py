@@ -263,6 +263,7 @@ def packed_branch_flags(h: int, w: int, cfg: ModelConfig):
         min_h,
         supports_pool,
         supports_up,
+        supports_up_f,
         supports_up_m,
     )
     from rrin_tpu.ops.packed import PackedSpec
@@ -284,14 +285,19 @@ def packed_branch_flags(h: int, w: int, cfg: ModelConfig):
         k_d[1], w3c, h // 2,
     )
     # Fused-upsample routing at u3c1/u4c1 (their input specs are fixed by
-    # the offset plan; the conv_up prep format differs from conv prep).
-    fuse_u3 = supports_up(
-        PackedSpec(p=1, c=w3c, w=w // 4, off=_PK["u2c2"], m=m0),
-        3, w2c, 2 * (h // 4),
+    # the offset plan). TRI-STATE: 0 = materialized, 1 = row-construction
+    # kernel (conv_up_packed), 2 = phase-folded kernel (conv_up_f_packed,
+    # preferred — no W-expansion VPU work). The value is part of the
+    # flags tuple because each routes a DIFFERENT prep format.
+    u3_spec = PackedSpec(p=1, c=w3c, w=w // 4, off=_PK["u2c2"], m=m0)
+    u4_spec = PackedSpec(p=2, c=w2c, w=w // 2, off=_PK["u3c2"], m=m0)
+    fuse_u3 = (
+        2 if supports_up_f(u3_spec, 3, w2c, h // 4, _PK["u3c1"])
+        else 1 if supports_up(u3_spec, 3, w2c, 2 * (h // 4)) else 0
     )
-    fuse_u4 = supports_up(
-        PackedSpec(p=2, c=w2c, w=w // 2, off=_PK["u3c2"], m=m0),
-        3, w1c, 2 * (h // 2),
+    fuse_u4 = (
+        2 if supports_up_f(u4_spec, 3, w1c, h // 2, _PK["u4c1"])
+        else 1 if supports_up(u4_spec, 3, w1c, 2 * (h // 2)) else 0
     )
     # Level-4 packed-kernel branch (inside l3): H/16 padded to /8 must fit
     # the conv window (models/unet.unet_apply_packed level-4 block).
@@ -345,11 +351,13 @@ def unet_apply_packed(
     from rrin_tpu.ops.conv_packed import (
         conv_packed,
         conv_pool_packed,
+        conv_up_f_packed,
         conv_up_m_packed,
         conv_up_packed,
         min_h,
         supports_pool,
         supports_up,
+        supports_up_f,
     )
     from rrin_tpu.ops.packed import (
         PackedSpec,
@@ -422,11 +430,19 @@ def unet_apply_packed(
                            out_dtype=dt, prepared=pr, collect=co)
 
     def conv_up(t, ts, real_c, prm, off_out, site):
-        """2x upsample + conv1 of an up stage: fused kernel when the site
-        qualifies (never materializes the doubled tensor — see
-        ops/conv_packed.py), else packed upsample + packed conv."""
+        """2x upsample + conv1 of an up stage: phase-folded kernel when
+        the site qualifies, else the row-construction fused kernel (both
+        never materialize the doubled tensor — see ops/conv_packed.py),
+        else packed upsample + packed conv."""
         am = amax_for(site)
         pr, co = _pc(site)
+        if supports_up_f(ts, prm["w"].shape[0], prm["w"].shape[3],
+                         t.shape[1], off_out) and ts.c == real_c:
+            return conv_up_f_packed(t, ts, real_c, prm["w"], prm["b"],
+                                    off_out, s,
+                                    in_absmax=None if am is None else am[0],
+                                    out_absmax=out_q(site), out_dtype=dt,
+                                    prepared=pr, collect=co)
         if supports_up(ts, prm["w"].shape[0], prm["w"].shape[3],
                        2 * t.shape[1]) and ts.c == real_c:
             return conv_up_packed(t, ts, real_c, prm["w"], prm["b"],

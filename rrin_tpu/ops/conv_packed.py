@@ -43,6 +43,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -1747,9 +1748,16 @@ def _conv_up_m_xla(
     out_dtype=None,
 ) -> jnp.ndarray:
     """Reference/fallback: unpack -> upsample -> XLA conv -> repack at
-    (P=1, m_out). Quantization semantics identical to the kernel (see
-    :func:`_conv_up_packed_xla` — the upsample is linear, so
-    round(up(q)) == quantize(up(q * ax/127)) for an int8 input)."""
+    (P=1, m_out).
+
+    An int8 input upsamples ON the int8 grid (f32 interp of the integer
+    codes, rounded) — exactly the kernel's row construction. The
+    dequant->upsample->requant order is NOT equivalent: bilinear taps of
+    integer codes land on exact .25/.5/.75 grid ties, and the
+    *(ax/127) ... *(127/ax) f32 roundtrip perturbs those ties either
+    way (the same effect fixed in :func:`_conv_pool_packed_xla`; before
+    this fix the on-device conv_up_m int8 selfcheck scored 53 dB with
+    the KERNEL as the exact side)."""
     from rrin_tpu.ops.resize import upsample_2x_bilinear
 
     if absmax is None:
@@ -1763,14 +1771,16 @@ def _conv_up_m_xla(
 
     ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
     xn = unpack(x, spec, c=real_c)[:, :h_src].astype(jnp.float32)
-    if x.dtype == jnp.int8:
-        xn = xn * (ax / 127.0)
-    xu = upsample_2x_bilinear(xn)
     wi = w
     if real_c < spec.c:
         wi = jnp.pad(wi, ((0, 0), (0, 0), (0, spec.c - real_c), (0, 0)))
     (wq,), sw = _quantize_weights([wi], (absmax,))
-    xdq = _quantize_act(xu, ax).astype(jnp.float32) * (ax / 127.0)
+    if x.dtype == jnp.int8:
+        # Interpolate the integer codes, re-round to the same grid.
+        xq = jnp.clip(jnp.round(upsample_2x_bilinear(xn)), -127.0, 127.0)
+    else:
+        xq = _quantize_act(upsample_2x_bilinear(xn), ax).astype(jnp.float32)
+    xdq = xq * (ax / 127.0)
     wd = wq.astype(jnp.float32) * (sw / 127.0)
     y = _conv_xla(xdq, wd[:, :, :real_c, :], bias, slope)
     if out_absmax is not None:
@@ -1855,6 +1865,564 @@ def conv_up_m_packed(
             ),
             default=lambda a, pr, ww, bb, am, *oa: _conv_up_m_xla(
                 a, ww, bb, spec, real_c, m_out, off_out, h_src, slope,
+                am, oa[0] if oa else None, out_dtype,
+            ),
+        )
+    return y, out_spec
+
+
+# ---------------------------------------------------------------------------
+# Phase-folded fused 2x-bilinear-upsample + conv (the up3/up4 fast path,
+# generation 2).
+#
+# The first-generation fused-up kernel (_kernel_body_up) CONSTRUCTS the
+# upsampled rows in VMEM — H-interp, then a W-expansion that doubles the
+# lane count with slot shuffles and an edge mask — and contracts them at
+# out-resolution. At 1080p the trace shows its u4c1-class calls ~2.5x over
+# the MXU roofline: the construction VPU work serializes against the dots.
+#
+# This kernel removes the W half of that work by folding the W-dimension
+# upsample INTO the contraction. conv(up(x)) along W is itself a k=3
+# stencil on the HALF-res grid with phase-dependent weights
+# (align_corners=False, torch grid):
+#
+#   out[2j+r], r = (x_slot - off_out) & 1 relative to the OUT slot parity:
+#     r=0: s[j-1]: .75*W0+.25*W1   s[j]: .25*W0+.75*W1+.75*W2   s[j+1]: .25*W2
+#     r=1: s[j-1]: .25*W0          s[j]: .75*W0+.75*W1+.25*W2   s[j+1]: .25*W1+.75*W2
+#
+# so the dots consume the H-interp rows DIRECTLY (half the lanes, no
+# expansion), with a block-Toeplitz B2F whose column blocks enumerate the
+# 2*P out slots: out slot pos reads src pixel j_rel(pos) + dx, all static
+# per (pos, dx) — including ODD off_out, which the slot-parity fold
+# handles without any offset-plan congruence (unlike _conv_statics).
+#
+# The W-edge clamp cannot ride a multiplicative mask here (there is no
+# constructed edge value to scale); instead the exact residual is added
+# by two tiny edge dots: the clamped taps differ from the guard-zero
+# generic stencil by
+#     out[0]     += .25*(W1-W0) . s[0]      out[2w-2] += .25*W2      . s[w-1]
+#     out[1]     += .25* W0     . s[0]      out[2w-1] += .25*(W1-W2) . s[w-1]
+# (per H-tap dy, same row stencil as the main dots), i.e. per block two
+# (RB, lin) x (lin, lout) dot chains on the edge-pixel window columns,
+# masked into the edge (group, lane-block) positions of the accumulator.
+# H-edge clamping stays free via clipped source-row indices, so corners
+# are exact too. Validated against upsample_2x_bilinear + XLA conv to
+# ~1e-6 across P in {1, 2} and odd/even offsets.
+# ---------------------------------------------------------------------------
+
+# [rho, dx+1, kx] W-upsample fold coefficients (torch bilinear, k=3).
+_UPF_A = np.array(
+    [
+        [[0.75, 0.25, 0.0], [0.25, 0.75, 0.75], [0.0, 0.0, 0.25]],
+        [[0.25, 0.0, 0.0], [0.75, 0.75, 0.25], [0.0, 0.25, 0.75]],
+    ],
+    dtype=np.float32,
+)
+
+
+def _upf_statics(p: int, off_in: int, off_out: int):
+    """Static (rho, delta, r) maps of the folded stencil plus (dmin, Q)."""
+    pos = np.arange(2 * p)
+    rho = (pos - off_out) & 1
+    jr = (pos - off_out - rho) // 2  # exact (numerator even), floor-safe
+    deltas = np.empty((3, 2 * p), np.int64)
+    rs = np.empty((3, 2 * p), np.int64)
+    for dxi, dx in enumerate((-1, 0, 1)):
+        tsl = jr + dx + off_in
+        deltas[dxi] = tsl // p
+        rs[dxi] = tsl % p
+    dmin = int(deltas.min())
+    q = int(deltas.max()) - dmin + 1
+    return rho, jr, deltas, rs, dmin, q
+
+
+def supports_up_f(
+    spec: PackedSpec, k: int, cout: int, h_src: int, off_out: int
+) -> bool:
+    """Static routability of the phase-folded fused upsample+conv site.
+    ``spec`` describes the HALF-res input; output is (2*spec.p)-packed at
+    ``off_out`` (no offset-parity constraint)."""
+    p_out = 2 * spec.p
+    return (
+        k == 3  # _UPF_A is solved for the model's k=3 up convs
+        and (2 * h_src) % RB == 0
+        and h_src >= WIN_SRC
+        and spec.m % 8 == 0
+        and spec.w >= 2
+        and p_out * cout <= 4 * LANES
+        and spec.p * spec.c <= 4 * LANES
+        and (spec.p * spec.c) % LANES == 0
+        and off_out + 2 * spec.w <= p_out * spec.m
+        and spec.m <= 800  # scoped-VMEM bound (see supports_pool)
+    )
+
+
+def _upf_fold(wi: jnp.ndarray):
+    """(k,k,cin,cout) f32 -> (weff (2,3,k,cin,cout), cl0, cl1, cr0, cr1)."""
+    a = jnp.asarray(_UPF_A)
+    weff = jnp.einsum("rdk,ykio->rdyio", a, wi)
+    cl0 = 0.25 * (wi[:, 1] - wi[:, 0])
+    cl1 = 0.25 * wi[:, 0]
+    cr0 = 0.25 * wi[:, 2]
+    cr1 = 0.25 * (wi[:, 1] - wi[:, 2])
+    return weff, (cl0, cl1, cr0, cr1)
+
+
+def prep_conv_up_f(
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    k: int,
+    cout: int,
+    off_out: int,
+    absmax=None,
+    out_absmax=None,
+    dtype=jnp.bfloat16,
+    int8_input: bool = False,
+) -> dict:
+    """Weight-side constants of one phase-folded fused-up conv site:
+    ``b2`` (k*Q, p*c, 2p*cout) folded block-Toeplitz, ``cl``/``cr``
+    (k, p*c, 2p*cout) edge-correction dots, bias/scale lane tiles. int8
+    quantizes the FOLDED weights per out-channel, with the edge tensors
+    on the SAME per-channel grid so their int32 partials share the
+    epilogue scale."""
+    p = spec.p
+    c = spec.c
+    assert k == 3
+    rho, _, deltas, rs, dmin, q = _upf_statics(p, spec.off, off_out)
+    lin = p * c
+    lout = 2 * p * cout
+    wi = w.astype(jnp.float32)
+    if real_c < c:
+        wi = jnp.pad(wi, ((0, 0), (0, 0), (0, c - real_c), (0, 0)))
+    weff, (cl0, cl1, cr0, cr1) = _upf_fold(wi)
+    bias_ch = bias.astype(jnp.float32)
+    quant = absmax is not None
+    prep = {}
+    if quant:
+        ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
+        sw = jnp.maximum(
+            jnp.maximum(
+                jnp.max(jnp.abs(weff), axis=(0, 1, 2, 3)),
+                jnp.max(
+                    jnp.abs(jnp.stack([cl0, cl1, cr0, cr1])), axis=(0, 1, 2)
+                ),
+            ),
+            1e-12,
+        )
+        qz = lambda t: jnp.clip(
+            jnp.round(t * (127.0 / sw)), -127, 127
+        ).astype(jnp.int8)
+        weff_s, cls = qz(weff), [qz(t) for t in (cl0, cl1, cr0, cr1)]
+        scale_ch = ax * sw / (127.0 * 127.0)
+        if out_absmax is not None:
+            inv_out = 127.0 / jnp.maximum(
+                out_absmax.astype(jnp.float32), 1e-12
+            )
+            scale_ch = scale_ch * inv_out
+            bias_ch = bias_ch * inv_out
+        prep["scale"] = jnp.tile(scale_ch, (2 * p,)).reshape(1, lout)
+        prep["inva"] = (
+            jnp.ones((1, 1), jnp.float32) if int8_input
+            else (127.0 / ax).reshape(1, 1)
+        )
+        bdt = jnp.int8
+    else:
+        weff_s = weff.astype(dtype)
+        cls = [t.astype(dtype) for t in (cl0, cl1, cr0, cr1)]
+        bdt = dtype
+    b2 = jnp.zeros((k, q, lin, lout), bdt)
+    for dxi in range(3):
+        for po in range(2 * p):
+            d = int(deltas[dxi, po]) - dmin
+            r = int(rs[dxi, po])
+            b2 = b2.at[
+                :, d, r * c : (r + 1) * c, po * cout : (po + 1) * cout
+            ].add(weff_s[int(rho[po]), dxi])
+    prep["b2"] = b2.reshape(k * q, lin, lout)
+
+    def place(pairs, src_slot):
+        blk = (src_slot % p) * c
+        ce = jnp.zeros((k, lin, lout), bdt)
+        for po, t in pairs:
+            ce = ce.at[:, blk : blk + c, po * cout : (po + 1) * cout].set(t)
+        return ce
+
+    po_of = lambda x: (x + off_out) % (2 * p)
+    prep["cl"] = place(
+        [(po_of(0), cls[0]), (po_of(1), cls[1])], spec.off
+    )
+    prep["cr"] = place(
+        [(po_of(2 * spec.w - 2), cls[2]), (po_of(2 * spec.w - 1), cls[3])],
+        spec.off + spec.w - 1,
+    )
+    prep["bias"] = jnp.tile(bias_ch, (2 * p,)).reshape(1, lout)
+    return prep
+
+
+def _kernel_body_up_f(
+    *, k: int, q: int, m: int, h_src: int, wl: int, dmin: int, lin: int,
+    lout: int, cout: int, p_in: int, off_in: int, off_out: int,
+    w_half: int, gl: int, gr: int, slope: Optional[float], out_dtype,
+    quant: bool = False, quant_out: bool = False,
+):
+    hh = (k - 1) // 2
+    h_out = 2 * h_src
+    p_out = 2 * p_in
+    n_rows = RB + 2 * hh
+    acc_dt = jnp.int32 if quant else jnp.float32
+    # Edge out positions: (group, slot-in-group) of out pixels 0, 1 and
+    # 2w-2, 2w-1 — the masked add targets.
+    lpos = [((x + off_out) // p_out, (x + off_out) % p_out) for x in (0, 1)]
+    rpos = [
+        ((x + off_out) // p_out, (x + off_out) % p_out)
+        for x in (2 * w_half - 2, 2 * w_half - 1)
+    ]
+
+    def kernel(*refs):
+        if quant:
+            (x_ref, b2_ref, cl_ref, cr_ref, bias_ref, scale_ref, inva_ref,
+             out_ref, swin, uwin, sem) = refs
+        else:
+            (x_ref, b2_ref, cl_ref, cr_ref, bias_ref, out_ref,
+             swin, uwin, sem) = refs
+            scale_ref = inva_ref = None
+        bi = pl.program_id(0)
+        ri = pl.program_id(1)
+        r0 = ri * RB
+        base = r0 // 2
+        ws = jnp.clip(((base - hh) >> 3) << 3, 0, h_src - WIN_SRC)
+        ws = pl.multiple_of(ws, 8)
+
+        cpy = pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(ws, WIN_SRC), :, :],
+            swin.at[pl.ds(0, WIN_SRC), pl.ds(wl, m), :],
+            sem,
+        )
+        cpy.start()
+
+        mw = swin.shape[1]
+
+        @pl.when(jnp.logical_and(bi == 0, ri == 0))
+        def _():
+            if wl:
+                swin[:, :wl, :] = jnp.zeros_like(swin[:, :wl, :])
+            if mw > wl + m:
+                swin[:, wl + m:, :] = jnp.zeros_like(swin[:, wl + m:, :])
+
+        # Output guard mask.
+        mi = jax.lax.broadcasted_iota(jnp.int32, (m, lout), 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (m, lout), 1)
+        pixo = p_out * mi + li // cout - off_out
+        gmask = jnp.logical_and(pixo >= 0, pixo < 2 * w_half)
+        po = li // cout
+        lmask = jnp.zeros((m, lout), jnp.bool_)
+        for gmi, gpo in lpos:
+            lmask = lmask | ((mi == gmi) & (po == gpo))
+        rmask = jnp.zeros((m, lout), jnp.bool_)
+        for gmi, gpo in rpos:
+            rmask = rmask | ((mi == gmi) & (po == gpo))
+
+        cpy.wait()
+
+        # H-interp rows (clamped source indices make the H-edge exact).
+        for i in range(n_rows):
+            du = i - hh
+            o0 = (du - 1) >> 1
+            w0, w1 = (0.75, 0.25) if (du & 1) else (0.25, 0.75)
+            j0 = jnp.clip(base + o0, 0, h_src - 1)
+            j1 = jnp.clip(base + o0 + 1, 0, h_src - 1)
+            hrow = (w0 * swin[j0 - ws].astype(jnp.float32)
+                    + w1 * swin[j1 - ws].astype(jnp.float32))
+            if quant:
+                hrow = hrow * inva_ref[0, 0]
+            u = r0 + du
+            valid = jnp.logical_and(u >= 0, u < h_out)
+            hrow = jnp.where(valid, hrow, 0.0)
+            if quant:
+                hrow = jnp.clip(jnp.round(hrow), -127.0, 127.0)
+            uwin[i] = hrow.astype(uwin.dtype)
+
+        # Edge-correction dot chains on the edge-pixel window columns.
+        el = uwin[:, gl, :]  # (n_rows, lin)
+        er = uwin[:, gr, :]
+        corr_l = jnp.zeros((RB, lout), acc_dt)
+        corr_r = jnp.zeros((RB, lout), acc_dt)
+        for dy in range(k):
+            corr_l = corr_l + jnp.dot(
+                el[dy : dy + RB], cl_ref[dy], preferred_element_type=acc_dt
+            )
+            corr_r = corr_r + jnp.dot(
+                er[dy : dy + RB], cr_ref[dy], preferred_element_type=acc_dt
+            )
+
+        for yo in range(RB):
+            acc = jnp.zeros((m, lout), acc_dt)
+            for dy in range(k):
+                for qq in range(q):
+                    cs = wl + dmin + qq
+                    acc = acc + jnp.dot(
+                        uwin[yo + dy, pl.ds(cs, m), :],
+                        b2_ref[dy * q + qq],
+                        preferred_element_type=acc_dt,
+                    )
+            zero = jnp.zeros((), acc_dt)
+            acc = acc + jnp.where(lmask, corr_l[yo][None, :], zero)
+            acc = acc + jnp.where(rmask, corr_r[yo][None, :], zero)
+            if quant:
+                acc = acc.astype(jnp.float32) * scale_ref[:] + bias_ref[:]
+            else:
+                acc = acc + bias_ref[:]
+            if slope is not None:
+                acc = jnp.where(acc >= 0, acc, slope * acc)
+            acc = jnp.where(gmask, acc, 0.0)
+            if quant_out:
+                acc = jnp.clip(jnp.round(acc), -127.0, 127.0)
+            out_ref[0, yo] = acc.astype(out_dtype)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "real_c", "k", "cout", "off_out",
+                              "slope", "out_dtype"),
+)
+def _conv_up_f_impl(
+    x: jnp.ndarray,
+    prep: dict,
+    spec: PackedSpec,
+    real_c: int,
+    k: int,
+    cout: int,
+    off_out: int,
+    slope: Optional[float],
+    absmax: Optional[jnp.ndarray] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+) -> jnp.ndarray:
+    b, h_src, m, lin = x.shape
+    p_in = spec.p
+    p_out = 2 * p_in
+    hh = (k - 1) // 2
+    quant = absmax is not None
+    assert out_absmax is None or quant
+    assert quant or x.dtype != jnp.int8
+    dtype = out_dtype or (jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype)
+    if out_absmax is not None:
+        dtype = jnp.int8
+    h_out = 2 * h_src
+
+    assert x.shape == (b, h_src, m, _round_up(p_in * spec.c, LANES)), (
+        x.shape, spec)
+    assert p_in * spec.c == lin, (spec, lin)
+    assert h_out % RB == 0 and h_src >= WIN_SRC, (h_out, h_src)
+    _, _, _, _, dmin, q = _upf_statics(p_in, spec.off, off_out)
+    wl = _round_up(max(0, -dmin), 8)
+    mw = wl + m + max(0, dmin + q - 1)
+    gl = wl + spec.off // p_in
+    gr = wl + (spec.off + spec.w - 1) // p_in
+
+    lout = p_out * cout
+    win_dt = jnp.int8 if quant else dtype
+    kernel = _kernel_body_up_f(
+        k=k, q=q, m=m, h_src=h_src, wl=wl, dmin=dmin, lin=lin, lout=lout,
+        cout=cout, p_in=p_in, off_in=spec.off, off_out=off_out,
+        w_half=spec.w, gl=gl, gr=gr, slope=slope, out_dtype=dtype,
+        quant=quant, quant_out=out_absmax is not None,
+    )
+    operands = [x, prep["b2"], prep["cl"], prep["cr"], prep["bias"]]
+    if quant:
+        operands += [prep["scale"], prep["inva"]]
+    n_vmem = len(operands) - 1
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h_out // RB),
+        out_shape=jax.ShapeDtypeStruct((b, h_out, m, lout), dtype),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem
+        ),
+        out_specs=pl.BlockSpec(
+            (1, RB, m, lout), lambda bi, ri: (bi, ri, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_SRC, mw, lin), x.dtype),
+            pltpu.VMEM((RB + 2 * hh, mw, lin), win_dt),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(*operands)
+
+
+def _conv_up_f_xla(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    off_out: int,
+    slope: Optional[float],
+    absmax: Optional[jnp.ndarray] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """Reference/fallback mirroring the folded kernel's semantics.
+
+    float: unpack -> upsample -> conv -> repack (the fold is exact, so
+    this equals the kernel up to f32-vs-bf16 accumulation noise). int8:
+    H-interp rows ON the int8 grid (rounded), then the folded fake-quant
+    stencil + edge corrections — the kernel's exact math with f32 dots.
+    """
+    from rrin_tpu.ops.resize import upsample_2x_bilinear
+
+    p = spec.p
+    h_src = x.shape[1]
+    if absmax is None:
+        xn = unpack(x, spec, c=real_c)
+        xu = upsample_2x_bilinear(xn)
+        y = _conv_xla(xu, w.astype(xu.dtype), bias, slope)
+        if out_dtype is not None:
+            y = y.astype(out_dtype)
+        yp, _ = pack(y, 2 * p, off_out, spec.m)
+        return yp
+
+    ax = jnp.maximum(absmax.astype(jnp.float32), 1e-12)
+    xn = unpack(x, spec, c=real_c).astype(jnp.float32)
+    if x.dtype != jnp.int8:
+        xn = xn * (127.0 / ax)  # to the grid (codes)
+    # H-interp of the codes, re-rounded (the kernel's row construction).
+    hh_w = 2 * h_src
+    u = jnp.arange(hh_w)
+    ry = u % 2
+    ii = u // 2
+    j0 = jnp.clip(jnp.where(ry == 0, ii - 1, ii), 0, h_src - 1)
+    j1 = jnp.clip(jnp.where(ry == 0, ii, ii + 1), 0, h_src - 1)
+    w0 = jnp.where(ry == 0, 0.25, 0.75)[None, :, None, None]
+    w1 = jnp.where(ry == 0, 0.75, 0.25)[None, :, None, None]
+    hq = jnp.clip(jnp.round(w0 * xn[:, j0] + w1 * xn[:, j1]), -127.0, 127.0)
+    # Folded fake-quant stencil (per-channel grid shared with the edge
+    # tensors, exactly as prep_conv_up_f builds them).
+    wi = w.astype(jnp.float32)
+    weff, (cl0, cl1, cr0, cr1) = _upf_fold(wi)
+    sw = jnp.maximum(
+        jnp.maximum(
+            jnp.max(jnp.abs(weff), axis=(0, 1, 2, 3)),
+            jnp.max(jnp.abs(jnp.stack([cl0, cl1, cr0, cr1])), axis=(0, 1, 2)),
+        ),
+        1e-12,
+    )
+    dq = lambda t: jnp.clip(jnp.round(t * (127.0 / sw)), -127, 127) * (
+        sw / 127.0
+    )
+    # (k, 3, cin, 2, cout) -> HWIO (k, 3, cin, 2*cout), rho-major out.
+    k = w.shape[0]
+    cout = w.shape[3]
+    weff_hwio = jnp.transpose(dq(weff), (2, 1, 3, 0, 4)).reshape(
+        k, 3, real_c, 2 * cout
+    )
+    y2 = jax.lax.conv_general_dilated(
+        hq, weff_hwio, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (b, 2h, w_half, 2*cout): lanes (rho, cout)
+    y = y2.reshape(y2.shape[0], y2.shape[1], 2 * spec.w, cout)
+
+    def ecorr(col, coeffs):
+        e = jnp.pad(hq[:, :, col, :], ((0, 0), (1, 1), (0, 0)))
+        return sum(
+            jnp.einsum(
+                "bhc,co->bho", e[:, ky : ky + hh_w], dq(coeffs)[ky],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            for ky in range(k)
+        )
+
+    y = y.at[:, :, 0].add(ecorr(0, cl0))
+    y = y.at[:, :, 1].add(ecorr(0, cl1))
+    y = y.at[:, :, 2 * spec.w - 2].add(ecorr(spec.w - 1, cr0))
+    y = y.at[:, :, 2 * spec.w - 1].add(ecorr(spec.w - 1, cr1))
+    # dq() already folded sw/127 back in, so only the activation grid
+    # step remains.
+    y = y * (ax / 127.0) + bias.astype(jnp.float32)
+    if slope is not None:
+        y = jnp.where(y >= 0, y, slope * y)
+    if out_absmax is not None:
+        y = _quantize_act(y, out_absmax)
+    else:
+        y = y.astype(
+            out_dtype or (jnp.bfloat16 if x.dtype == jnp.int8 else x.dtype)
+        )
+    yp, _ = pack(y, 2 * p, off_out, spec.m)
+    return yp
+
+
+def conv_up_f_packed(
+    x: jnp.ndarray,
+    spec: PackedSpec,
+    real_c: int,
+    w: jnp.ndarray,
+    bias: jnp.ndarray,
+    off_out: int,
+    slope: Optional[float] = None,
+    in_absmax: Optional[jnp.ndarray] = None,
+    out_absmax: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+    prepared: Optional[dict] = None,
+    collect=None,
+) -> Tuple[jnp.ndarray, PackedSpec]:
+    """Phase-folded fused 2x-bilinear-upsample + conv2d(SAME) + bias +
+    LReLU (generation-2 up3/up4 fast path; see the module comment above
+    :func:`supports_up_f`). Consumes the HALF-res (P, spec) input and
+    produces the (2P, off_out)-packed result; the upsampled tensor never
+    exists, in HBM or in VMEM. Inference-only; Mosaic on TPU, XLA
+    elsewhere."""
+    k = w.shape[0]
+    cout = w.shape[3]
+    assert real_c == spec.c == w.shape[2], (real_c, spec, w.shape)
+    assert out_absmax is None or in_absmax is not None
+    assert supports_up_f(spec, k, cout, x.shape[1], off_out), (
+        spec, k, cout, x.shape[1], off_out)
+    out_spec = PackedSpec(
+        p=2 * spec.p, c=cout, w=2 * spec.w, off=off_out, m=spec.m
+    )
+    if prepared is None:
+        prepared = prep_conv_up_f(
+            w, bias, spec, real_c, k, cout, off_out, in_absmax, out_absmax,
+            dtype=out_dtype or (jnp.bfloat16 if x.dtype == jnp.int8
+                                else x.dtype),
+            int8_input=x.dtype == jnp.int8,
+        )
+    if collect is not None:
+        collect[0][collect[1]] = prepared
+    if _FORCE_KERNEL:  # interpret-mode tests on CPU
+        y = _conv_up_f_impl(
+            x, prepared, spec, real_c, k, cout, off_out, slope,
+            in_absmax, out_absmax, out_dtype,
+        )
+        return y, out_spec
+    if in_absmax is None:
+        y = jax.lax.platform_dependent(
+            x, prepared, w, bias,
+            tpu=lambda a, pr, ww, bb: _conv_up_f_impl(
+                a, pr, spec, real_c, k, cout, off_out, slope,
+                out_dtype=out_dtype,
+            ),
+            default=lambda a, pr, ww, bb: _conv_up_f_xla(
+                a, ww, bb, spec, real_c, off_out, slope,
+                out_dtype=out_dtype,
+            ),
+        )
+    else:
+        oam = (out_absmax,) if out_absmax is not None else ()
+        y = jax.lax.platform_dependent(
+            x, prepared, w, bias, in_absmax, *oam,
+            tpu=lambda a, pr, ww, bb, am, *oa: _conv_up_f_impl(
+                a, pr, spec, real_c, k, cout, off_out, slope,
+                am, oa[0] if oa else None, out_dtype,
+            ),
+            default=lambda a, pr, ww, bb, am, *oa: _conv_up_f_xla(
+                a, ww, bb, spec, real_c, off_out, slope,
                 am, oa[0] if oa else None, out_dtype,
             ),
         )
