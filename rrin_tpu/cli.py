@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the pure-XLA warp instead of the Pallas kernel")
     p.add_argument("--fps", type=float, default=None,
                    help="override output fps metadata")
+    p.add_argument("--retime", type=float, default=None, metavar="FPS",
+                   help="retime to an arbitrary output frame rate (e.g. "
+                   "24->60, 30->24, NTSC rates): each output frame is "
+                   "interpolated at its exact source time in ONE compiled "
+                   "program (ignores --exp/--sf/--mode)")
     p.add_argument("--fourcc", default="mp4v", help="output codec fourcc")
     p.add_argument("--align-corners", action="store_true",
                    help="use align_corners=True grid_sample semantics")
@@ -160,7 +165,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         spatial=args.spatial,
         int8=args.int8,
         int8_margin=args.int8_margin,
+        retime_fps=args.retime,
     )
+    if args.retime is not None and args.fps is not None:
+        print("error: --retime sets the output fps; drop --fps",
+              file=sys.stderr)
+        return 2
     if args.calib:
         from rrin_tpu.params import load_calibration
 

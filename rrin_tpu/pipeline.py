@@ -22,11 +22,12 @@ restructured TPU-first:
 from __future__ import annotations
 
 import collections
+import fractions
 import json
 import time
 from dataclasses import dataclass, field
 from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,13 +55,22 @@ def _step_body(
     packed: Optional[bool] = None,
     quant_stats: Optional[Dict[str, Any]] = None,
     packed_params: Any = None,
+    ts: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """One fused device step: (B, 2, H, W, 3) uint8 -> (B, 2^exp - 1, H, W, 3) uint8.
+    """One fused device step: (B, 2, H, W, 3) uint8 -> (B, m, H, W, 3) uint8
+    with m = 2^exp - 1 (direct/cascade) or ts.shape[1] (times).
 
     All math between the two uint8 boundaries is on-device and fused by XLA.
     ``pad_hw`` is the static (pad_h, pad_w) bottom/right padding to /16.
     ``quant_stats`` (from :func:`device_calibrate`) switches the packed
     convs to int8 — requires the packed path.
+
+    ``mode="times"`` interpolates each pair at the RUNTIME times ``ts``
+    (a traced (B, m) float array in (0, 1)) instead of the static 2^k
+    midpoint grid — the arbitrary-fps retiming step. Because ``t`` is a
+    traced model input (models/rrin.py), every timestep pattern reuses ONE
+    compiled program per (resolution, batch, m); the torch reference would
+    pay a fresh graph per distinct t.
     """
     b, _, h, w, _ = pairs_u8.shape
     ph, pw = pad_hw if pad_hw is not None else (
@@ -83,13 +93,22 @@ def _step_body(
         packed_params=packed_params,
     )
 
-    if mode == "direct" or exp == 1:
+    if mode == "times":
+        # Per-pair runtime times: ts is (B, m) traced, pair-major like the
+        # direct expansion (host drops any padded slots).
+        assert ts is not None and ts.ndim == 2 and ts.shape[0] == b, ts
+        m = ts.shape[1]
+        i0r = jnp.repeat(i0, m, axis=0)
+        i1r = jnp.repeat(i1, m, axis=0)
+        tr = ts.astype(jnp.float32).reshape(-1)
+        mids = run(i0r, i1r, tr).reshape(b, m, i0.shape[1], i0.shape[2], 3)
+    elif mode == "direct" or exp == 1:
         # All m times in one maximal-batch forward: replicate pairs m times,
         # pair j gets t = (j+1)/2^exp. Best MXU utilization.
-        ts = jnp.arange(1, m + 1, dtype=jnp.float32) / (1 << exp)
+        tg = jnp.arange(1, m + 1, dtype=jnp.float32) / (1 << exp)
         i0r = jnp.repeat(i0, m, axis=0)  # (B*m, H, W, 3), pair-major
         i1r = jnp.repeat(i1, m, axis=0)
-        tr = jnp.tile(ts, (b,))
+        tr = jnp.tile(tg, (b,))
         mids = run(i0r, i1r, tr).reshape(b, m, i0.shape[1], i0.shape[2], 3)
     elif mode == "cascade":
         # Reference-compatible midpoint recursion (SURVEY.md §3.2 [B:10]):
@@ -117,7 +136,9 @@ def _step_body(
             frames = merged
         mids = jnp.stack(frames[1:-1], axis=1)  # (B, m, H, W, 3)
     else:
-        raise ValueError(f"unknown mode: {mode!r} (use 'direct' or 'cascade')")
+        raise ValueError(
+            f"unknown mode: {mode!r} (use 'direct', 'cascade' or 'times')"
+        )
 
     if ph or pw:
         mids = mids[:, :, :h, :w, :]
@@ -168,6 +189,54 @@ device_calibrate = partial(
     jax.jit,
     static_argnames=("cfg", "compute_dtype", "use_pallas", "pad_hw"),
 )(_calibrate_body)
+
+
+@dataclass(frozen=True)
+class PairPlan:
+    """Retiming schedule of ONE source pair (see :func:`retime_plan`)."""
+
+    emit_copy: bool          # an output lands exactly on the left frame
+    ts: Tuple[float, ...]    # strictly increasing mid times in (0, 1)
+
+
+def retime_plan(
+    factor: fractions.Fraction, start_pair: int, n_pairs: int
+) -> List[PairPlan]:
+    """Map output frames to source pairs for fps retiming.
+
+    Output frame j plays at source time T = j / factor (in source-frame
+    units), so it belongs to pair p = floor(T) with t = T - p; integer T
+    is the source frame itself (a host-side copy — the model is only
+    asked for strictly interior times). Exact Fraction arithmetic: no
+    float drift over long videos, and the per-pair schedule depends only
+    on the ABSOLUTE pair index, so resumable segments reproduce it from
+    ``start_pair`` alone.
+    """
+    assert isinstance(factor, fractions.Fraction) and factor > 0
+    plans = []
+    for p in range(start_pair, start_pair + n_pairs):
+        j0 = -((-p * factor) // 1)              # ceil(p * factor)
+        j1 = -((-(p + 1) * factor) // 1)        # ceil((p+1) * factor)
+        ts, emit_copy = [], False
+        for j in range(int(j0), int(j1)):
+            t = fractions.Fraction(j, 1) / factor - p
+            if t == 0:
+                emit_copy = True
+            else:
+                ts.append(float(t))
+        plans.append(PairPlan(emit_copy, tuple(ts)))
+    return plans
+
+
+def retime_slots(factor: fractions.Fraction) -> int:
+    """Max mids any pair needs under ``factor`` — the static t-slot count
+    of the times-mode step. The per-pair schedule is periodic in the pair
+    index with period = factor.denominator (pair p's output set depends
+    only on p*factor mod 1), so one period bounds every pair."""
+    period = min(factor.denominator, 4096)
+    return max(
+        (len(pl.ts) for pl in retime_plan(factor, 0, period)), default=0
+    )
 
 
 @dataclass
@@ -239,11 +308,11 @@ class Interpolator:
         quant_stats: Optional[Dict[str, Any]] = None,
         mesh: Any = None,
     ):
-        if mode not in ("direct", "cascade"):
+        if mode not in ("direct", "cascade", "times"):
             raise ValueError(f"unknown mode: {mode!r}")
         if exp < 1:
             raise ValueError("exp must be >= 1")
-        if exp >= 3:
+        if mode != "times" and exp >= 3:
             import warnings
 
             n = (1 << (exp - 1)) if mode == "cascade" else (1 << exp) - 1
@@ -324,6 +393,19 @@ class Interpolator:
             pad_hw=pad_hw, packed=self.packed,
         )
 
+        if self.mode == "times":
+            # ts shards with the batch (one row of times per pair).
+            def local_t(params, pairs, quant_stats, packed_params, ts):
+                return _step_body(params, pairs, quant_stats=quant_stats,
+                                  packed_params=packed_params, ts=ts, **kw)
+
+            return jax.jit(jax.shard_map(
+                local_t, mesh=self.mesh,
+                in_specs=(P(), P(DATA_AXIS), P(), P(), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            ))
+
         def local(params, pairs, quant_stats, packed_params):
             return _step_body(params, pairs, quant_stats=quant_stats,
                               packed_params=packed_params, **kw)
@@ -377,14 +459,22 @@ class Interpolator:
 
         return int(self.mesh.shape[DATA_AXIS])
 
-    def step(self, pairs_u8: np.ndarray) -> jax.Array:
+    def step(
+        self, pairs_u8: np.ndarray, ts: Optional[np.ndarray] = None
+    ) -> jax.Array:
         """Dispatch one device step; returns the (async) device result.
 
         In int8 mode the first batch AT EACH RESOLUTION also runs a
         calibration pass (device_calibrate) whose activation ranges, scaled
         by ``int8_margin``, quantize every subsequent same-resolution frame
         (per-resolution stats: a shape change re-validates packed support
-        and re-calibrates rather than silently reusing foreign ranges)."""
+        and re-calibrates rather than silently reusing foreign ranges).
+
+        ``mode="times"`` requires ``ts``: a (B, m) float array of per-pair
+        interpolation times in (0, 1) (padded slots are computed and
+        host-dropped — see :func:`retime_plan`)."""
+        if (ts is not None) != (self.mode == "times"):
+            raise ValueError("ts is required (exactly) when mode='times'")
         b, _, h, w, _ = pairs_u8.shape
         pad_hw = (
             padded_size(h, self.cfg.pad_multiple) - h,
@@ -445,6 +535,16 @@ class Interpolator:
             if dp is None:
                 dp = self._dp_steps[hw_key] = self._make_dp_step(pad_hw)
             batch = shard_pairs(self.mesh, pairs_u8)
+            if ts is not None:
+                from rrin_tpu.parallel.sharding import DATA_AXIS
+
+                tdev = jax.device_put(
+                    jnp.asarray(ts, jnp.float32),
+                    jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec(DATA_AXIS)
+                    ),
+                )
+                return dp(self.params, batch, quant_stats, prep, tdev)
             return dp(self.params, batch, quant_stats, prep)
         if self.mesh is not None:
             from rrin_tpu.parallel.sharding import shard_pairs
@@ -468,6 +568,7 @@ class Interpolator:
             packed=self.packed,
             quant_stats=quant_stats,
             packed_params=prep,
+            ts=None if ts is None else jnp.asarray(ts, jnp.float32),
         )
 
 
@@ -495,11 +596,19 @@ def interpolate_video(
     int8_margin: float = 1.2,
     quant_stats: Optional[Dict[str, Any]] = None,
     save_calib: Optional[str] = None,
+    retime_fps: Optional[float] = None,
 ) -> PipelineReport:
     """2^exp-upsample ``input_path``'s frame rate into ``output_path``.
 
     Output frame count = 2^exp * (N - 1) + 1 for N input frames
     (original frames interleaved with interpolated ones, SURVEY.md §3.2).
+
+    ``retime_fps`` switches to arbitrary-ratio retiming instead: output
+    frame j plays at source time j*fps_in/retime_fps, so any conversion
+    (24→60, 30→24, NTSC rates, slowdowns) runs in ONE compiled times-mode
+    program per resolution (see :func:`retime_plan`; ``exp``/``mode`` are
+    ignored). Output frame count = floor((N-1) * retime_fps/fps_in) + 1 —
+    timestamps never extrapolate past the last source frame.
 
     ``start_frame``/``max_pairs``/``write_trailing_frame`` carve out a
     contiguous sub-range of source pairs — the building block of segmented
@@ -509,22 +618,44 @@ def interpolate_video(
     """
     from rrin_tpu.io.video import VideoReader, VideoWriter
 
-    interp = Interpolator(
-        params, cfg, exp=exp, mode=mode, compute_dtype=compute_dtype,
-        use_pallas=use_pallas, data_parallel=data_parallel, spatial=spatial,
-        int8=int8, int8_margin=int8_margin, quant_stats=quant_stats,
-    )
-    m = interp.mids_per_pair
-    # Sharded batches must divide evenly over the data mesh axis.
-    batch_size = -(-batch_size // interp.shard_count) * interp.shard_count
-
     # Host frames stay BGR end-to-end: original frames are written back
     # with ZERO swap passes, and the one swap the device input needs is
     # fused into the threaded native pair-packer (rrin_tpu/native).
     reader = VideoReader(input_path, queue_depth=queue_depth,
                          start_frame=start_frame, rgb=False)
     meta = reader.meta
-    out_fps = fps_out if fps_out is not None else meta.fps * (1 << exp)
+
+    factor = None
+    m_slots = 0
+    if retime_fps is not None:
+        if retime_fps <= 0:
+            raise ValueError("retime_fps must be > 0")
+        if not meta.fps or meta.fps <= 0:
+            raise ValueError(
+                f"{input_path} has no usable fps metadata for retiming"
+            )
+        # Exact rational ratio (limit_denominator absorbs NTSC-style
+        # float fps like 29.97002997 -> 30000/1001).
+        factor = (
+            fractions.Fraction(retime_fps).limit_denominator(100_000)
+            / fractions.Fraction(meta.fps).limit_denominator(100_000)
+        )
+        m_slots = retime_slots(factor)
+        mode = "times"
+
+    interp = Interpolator(
+        params, cfg, exp=exp, mode=mode, compute_dtype=compute_dtype,
+        use_pallas=use_pallas, data_parallel=data_parallel, spatial=spatial,
+        int8=int8, int8_margin=int8_margin, quant_stats=quant_stats,
+    )
+    m = m_slots if factor is not None else interp.mids_per_pair
+    # Sharded batches must divide evenly over the data mesh axis.
+    batch_size = -(-batch_size // interp.shard_count) * interp.shard_count
+
+    out_fps = (
+        retime_fps if retime_fps is not None
+        else fps_out if fps_out is not None else meta.fps * (1 << exp)
+    )
     writer = VideoWriter(
         output_path, out_fps, (meta.height, meta.width), fourcc=fourcc,
         queue_depth=queue_depth * (m + 1), input_rgb=False,
@@ -537,35 +668,57 @@ def interpolate_video(
     )
     t_start = time.perf_counter()
 
-    # In-flight window: (list of left frames, device result) per step.
+    # In-flight window: (lefts, plans, device result) per step.
     inflight: "collections.deque" = collections.deque()
     pending_pairs: List[tuple] = []  # (prev, frame) BGR uint8 pairs
     pending_lefts: List[np.ndarray] = []
+    pending_plans: List[PairPlan] = []  # retime mode only
     prev: Optional[np.ndarray] = None
     last_frame: Optional[np.ndarray] = None
     frames_in = 0
+    n_mids_written = 0
     first_dispatch = True
 
     def drain_one() -> None:
-        nonlocal timers
-        lefts, dev = inflight.popleft()
+        nonlocal timers, n_mids_written
+        lefts, plans, dev = inflight.popleft()
         t0 = time.perf_counter()
-        mids = np.asarray(dev)  # blocks until the step is done; uint8 host copy
+        # blocks until the step is done; uint8 host copy
+        mids = None if dev is None else np.asarray(dev)
         timers.d2h += time.perf_counter() - t0
         t0 = time.perf_counter()
         for i, left in enumerate(lefts):
-            writer.write(left)  # BGR passthrough, no swap
-            for j in range(m):
-                writer.write(mids[i, j], rgb=True)  # device output is RGB
+            if plans is None:
+                writer.write(left)  # BGR passthrough, no swap
+                for j in range(m):
+                    writer.write(mids[i, j], rgb=True)  # device RGB
+                n_mids_written += m
+            else:
+                if plans[i].emit_copy:
+                    writer.write(left)
+                for j in range(len(plans[i].ts)):
+                    writer.write(mids[i, j], rgb=True)
+                n_mids_written += len(plans[i].ts)
         timers.encode_wait += time.perf_counter() - t0
 
-    def dispatch(pairs: List[np.ndarray], lefts: List[np.ndarray]) -> None:
+    def dispatch(
+        pairs: List[tuple],
+        lefts: List[np.ndarray],
+        plans: Optional[List[PairPlan]] = None,
+    ) -> None:
         nonlocal first_dispatch, timers, report
         n = len(pairs)
         if n < batch_size:
             # Pad the tail batch so the jit signature stays unique; the
             # padded rows are computed then dropped (lefts is shorter).
             pairs = pairs + [pairs[-1]] * (batch_size - n)
+        if plans is not None and m == 0:
+            # Pure downsampling to a divisor rate: every output is a
+            # source copy — no device work at all.
+            inflight.append((lefts, plans, None))
+            while len(inflight) > max_in_flight:
+                drain_one()
+            return
         t0 = time.perf_counter()
         # Fused BGR->RGB + pack into the device batch buffer (threaded
         # C++; numpy fallback). A fresh buffer per dispatch: the previous
@@ -577,14 +730,22 @@ def interpolate_video(
                 batch[i, 1] = b[..., ::-1]
         timers.pack += time.perf_counter() - t0
         t0 = time.perf_counter()
-        dev = interp.step(batch)[: len(lefts)]
+        if plans is not None:
+            # Per-pair times padded to the static slot count (padded
+            # slots compute a midpoint that drain_one never writes).
+            ts = np.full((batch_size, m), 0.5, np.float32)
+            for i, pl_ in enumerate(plans):
+                ts[i, : len(pl_.ts)] = pl_.ts
+            dev = interp.step(batch, ts)[: len(lefts)]
+        else:
+            dev = interp.step(batch)[: len(lefts)]
         dt = time.perf_counter() - t0
         if first_dispatch:
             report.compile_seconds = round(dt, 3)
             first_dispatch = False
         else:
             timers.dispatch += dt
-        inflight.append((lefts, dev))
+        inflight.append((lefts, plans, dev))
         while len(inflight) > max_in_flight:
             drain_one()
 
@@ -598,10 +759,17 @@ def interpolate_video(
             if prev is not None:
                 pending_pairs.append((prev, frame))
                 pending_lefts.append(prev)
+                if factor is not None:
+                    # Schedule from the ABSOLUTE pair index — segments of
+                    # a resumable retime job reproduce the same timeline.
+                    pending_plans.append(
+                        retime_plan(factor, start_frame + pairs_done, 1)[0]
+                    )
                 pairs_done += 1
                 if len(pending_pairs) == batch_size:
-                    dispatch(pending_pairs, pending_lefts)
-                    pending_pairs, pending_lefts = [], []
+                    dispatch(pending_pairs, pending_lefts,
+                             pending_plans if factor is not None else None)
+                    pending_pairs, pending_lefts, pending_plans = [], [], []
             prev = frame
             if progress and frames_in % 100 == 0:
                 print(f"\r[rrin-tpu] {frames_in} frames decoded", end="", flush=True)
@@ -609,11 +777,19 @@ def interpolate_video(
                 break
             t_dec = time.perf_counter()
         if pending_pairs:
-            dispatch(pending_pairs, pending_lefts)
+            dispatch(pending_pairs, pending_lefts,
+                     pending_plans if factor is not None else None)
         while inflight:
             drain_one()
         if write_trailing_frame and last_frame is not None:
-            writer.write(last_frame)
+            if factor is None:
+                writer.write(last_frame)
+            elif (
+                (start_frame + frames_in - 1) * factor
+            ).denominator == 1:
+                # Retiming writes the trailing source frame only when an
+                # output timestamp lands exactly on it.
+                writer.write(last_frame)
         if frames_in == 0:
             raise ValueError(f"no frames decoded from {input_path}")
     finally:
@@ -633,7 +809,9 @@ def interpolate_video(
     timers.total = time.perf_counter() - t_start
     report.frames_in = frames_in
     report.frames_out = writer.frames_written
-    n_interp = max(frames_in - 1, 0) * m
+    n_interp = (
+        n_mids_written if factor is not None else max(frames_in - 1, 0) * m
+    )
     report.interp_fps = round(n_interp / timers.total, 2) if timers.total else 0.0
     report.output_fps_rate = (
         round(report.frames_out / timers.total, 2) if timers.total else 0.0

@@ -63,8 +63,14 @@ def interpolate_video_resumable(
     int8_margin: float = 1.2,
     quant_stats: Optional[Dict[str, Any]] = None,
     save_calib: Optional[str] = None,
+    retime_fps: Optional[float] = None,
 ) -> Dict[str, Any]:
-    """Run (or resume) a segmented interpolation job; returns the manifest."""
+    """Run (or resume) a segmented interpolation job; returns the manifest.
+
+    ``retime_fps`` retimes instead of 2^exp-upsampling (pipeline.py
+    ``retime_plan``): the per-pair schedule depends only on the absolute
+    pair index, so every segment reproduces the same timeline and the
+    concatenation is identical to a single-pass retime run."""
     from rrin_tpu.io.video import probe_video
 
     meta = probe_video(input_path)
@@ -73,7 +79,10 @@ def interpolate_video_resumable(
         raise ValueError(f"need >= 2 frames, got {n_frames} in {input_path}")
     n_pairs = n_frames - 1
     n_segments = -(-n_pairs // segment_pairs)
-    out_fps = fps_out if fps_out is not None else meta.fps * (1 << exp)
+    out_fps = (
+        retime_fps if retime_fps is not None
+        else fps_out if fps_out is not None else meta.fps * (1 << exp)
+    )
 
     mpath = _manifest_path(output_path)
     job_sig = {
@@ -86,6 +95,7 @@ def interpolate_video_resumable(
         "n_segments": n_segments,
         "fps_out": out_fps,
         "fourcc": fourcc,
+        "retime_fps": retime_fps,
     }
     manifest: Dict[str, Any]
     if resume and os.path.exists(mpath):
@@ -133,6 +143,7 @@ def interpolate_video_resumable(
                 int8=int8,
                 int8_margin=int8_margin,
                 quant_stats=quant_stats,
+                retime_fps=retime_fps,
                 # Only the first still-running segment writes the calib
                 # file; later segments (and resumes) load it back via
                 # quant_stats at the CLI layer or recalibrate identically.
