@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -355,6 +356,32 @@ def run_bench(size: str = "1080p", iters: int = 10, batch: int = 1,
     return r
 
 
+def _arm_watchdog(seconds: float) -> "threading.Event":
+    """Emit a diagnosable JSON error line and hard-exit if the bench never
+    completes (a wedged TPU tunnel hangs device init indefinitely — seen
+    2026-08-17: even an (8,128) sum blocks for hours; without this the
+    driver records a silent hang instead of an artifact)."""
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if done.wait(seconds):
+            return
+        print(json.dumps({
+            "metric": "bench_error",
+            "value": None,
+            "unit": "frames/sec",
+            "vs_baseline": None,
+            "detail": {"error": f"watchdog: no result in {seconds:.0f}s "
+                       "(TPU tunnel wedged?)"},
+        }), flush=True)
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--size", choices=sorted(SIZES), default="1080p")
@@ -372,10 +399,20 @@ def main() -> int:
                    "measurement and the on-device kernel selfcheck")
     p.add_argument("--selfcheck-only", action="store_true",
                    help="run only the Mosaic-vs-XLA kernel parity gate")
+    p.add_argument("--watchdog", type=float,
+                   default=float(os.environ.get("BENCH_WATCHDOG_S", 3600)),
+                   help="hard-exit with a JSON error line if the bench "
+                   "has not finished after this many seconds (0 = off)")
     args = p.parse_args()
+
+    done = None
+    if args.watchdog > 0:
+        done = _arm_watchdog(args.watchdog)
 
     if args.selfcheck_only:
         print(json.dumps({"selfcheck": run_selfcheck()}))
+        if done is not None:
+            done.set()
         return 0
 
     r = run_bench(args.size, args.iters, args.batch,
@@ -442,6 +479,8 @@ def main() -> int:
                 if k in d:
                     line["detail"][k] = d[k]
         print(json.dumps(line))
+    if done is not None:
+        done.set()
     return 0
 
 
