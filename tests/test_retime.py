@@ -206,6 +206,15 @@ class TestRetimePipeline:
         for x, y in zip(a, b):
             assert np.mean(np.abs(x.astype(int) - y.astype(int))) < 12.0
 
+    def test_retime_composes_with_int8(self, video, params, tmp_path):
+        """Retiming rides Interpolator.step unchanged, so calibrated-int8
+        serving composes with it (packed XLA fallback on CPU)."""
+        out = str(tmp_path / "ri8.mp4")
+        report = interpolate_video(video, out, params, retime_fps=25.0,
+                                   int8=True)
+        assert report.frames_out == 21
+        assert probe_video(out).frame_count == 21
+
     def test_dp_retime_matches_single_device(self, video, params, tmp_path):
         out1 = str(tmp_path / "rdp1.mp4")
         out8 = str(tmp_path / "rdp8.mp4")
