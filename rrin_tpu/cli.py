@@ -128,6 +128,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 2
         exp = args.sf.bit_length() - 1
 
+    if args.retime is not None and args.fps is not None:
+        print("error: --retime sets the output fps; drop --fps",
+              file=sys.stderr)
+        return 2
+
     if args.status:
         import json
 
@@ -167,10 +172,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         int8_margin=args.int8_margin,
         retime_fps=args.retime,
     )
-    if args.retime is not None and args.fps is not None:
-        print("error: --retime sets the output fps; drop --fps",
-              file=sys.stderr)
-        return 2
     if args.calib:
         from rrin_tpu.params import load_calibration
 

@@ -35,17 +35,20 @@ class VideoMeta:
     height: int
     fps: float
     frame_count: int  # may be 0/negative if the container lies
+    fps_assumed: bool = False  # container had no fps metadata; 30.0 default
 
 
 def probe_video(path: str) -> VideoMeta:
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {path}")
+    raw_fps = float(cap.get(cv2.CAP_PROP_FPS))
     meta = VideoMeta(
         width=int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
         height=int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
-        fps=float(cap.get(cv2.CAP_PROP_FPS)) or 30.0,
+        fps=raw_fps or 30.0,
         frame_count=int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+        fps_assumed=not raw_fps,
     )
     cap.release()
     return meta
@@ -69,11 +72,13 @@ class VideoReader:
             raise FileNotFoundError(f"cannot open video: {path}")
         if start_frame:
             self._cap.set(cv2.CAP_PROP_POS_FRAMES, start_frame)
+        raw_fps = float(self._cap.get(cv2.CAP_PROP_FPS))
         self.meta = VideoMeta(
             width=int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
             height=int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
-            fps=float(self._cap.get(cv2.CAP_PROP_FPS)) or 30.0,
+            fps=raw_fps or 30.0,
             frame_count=int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+            fps_assumed=not raw_fps,
         )
         self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=queue_depth)
         self._err: Optional[BaseException] = None

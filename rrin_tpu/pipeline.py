@@ -229,14 +229,19 @@ def retime_plan(
 
 
 def retime_slots(factor: fractions.Fraction) -> int:
-    """Max mids any pair needs under ``factor`` — the static t-slot count
-    of the times-mode step. The per-pair schedule is periodic in the pair
-    index with period = factor.denominator (pair p's output set depends
-    only on p*factor mod 1), so one period bounds every pair."""
-    period = min(factor.denominator, 4096)
-    return max(
-        (len(pl.ts) for pl in retime_plan(factor, 0, period)), default=0
-    )
+    """Exact max mids any pair needs under ``factor``.
+
+    Closed form, not a period scan (a scan capped below the denominator
+    underestimates — e.g. 10001/9999 first needs its 2nd slot at pair
+    4999). With factor a/q in lowest terms and x = frac(p*factor) = k/q,
+    a pair has ceil((a+k)/q) - ceil(k/q) outputs of which [k == 0] is a
+    copy, so mids(k) = ceil((a+k)/q) - 1 for k > 0 and ceil(a/q) - 1 for
+    k = 0; the max over k in [0, q) is at k = q-1 (and equals a-1 when
+    q == 1, where every pair is the k=0 case)."""
+    a, q = factor.numerator, factor.denominator
+    if q == 1:
+        return a - 1
+    return (a + 2 * q - 2) // q - 1
 
 
 @dataclass
@@ -618,6 +623,21 @@ def interpolate_video(
     """
     from rrin_tpu.io.video import VideoReader, VideoWriter
 
+    if retime_fps is not None:
+        if retime_fps <= 0:
+            raise ValueError("retime_fps must be > 0")
+        mode = "times"
+
+    # Interpolator validation (mode/exp/sharding/int8 conflicts) runs
+    # BEFORE any file handle or decode thread exists.
+    interp = Interpolator(
+        params, cfg, exp=exp, mode=mode, compute_dtype=compute_dtype,
+        use_pallas=use_pallas, data_parallel=data_parallel, spatial=spatial,
+        int8=int8, int8_margin=int8_margin, quant_stats=quant_stats,
+    )
+    # Sharded batches must divide evenly over the data mesh axis.
+    batch_size = -(-batch_size // interp.shard_count) * interp.shard_count
+
     # Host frames stay BGR end-to-end: original frames are written back
     # with ZERO swap passes, and the one swap the device input needs is
     # fused into the threaded native pair-packer (rrin_tpu/native).
@@ -626,31 +646,27 @@ def interpolate_video(
     meta = reader.meta
 
     factor = None
-    m_slots = 0
-    if retime_fps is not None:
-        if retime_fps <= 0:
-            raise ValueError("retime_fps must be > 0")
-        if not meta.fps or meta.fps <= 0:
-            raise ValueError(
-                f"{input_path} has no usable fps metadata for retiming"
+    try:
+        if retime_fps is not None:
+            if meta.fps_assumed:
+                raise ValueError(
+                    f"{input_path} has no fps metadata — retiming needs "
+                    "the true input rate (pass a container with fps, or "
+                    "remux first)"
+                )
+            # Exact rational ratio (limit_denominator absorbs NTSC-style
+            # float fps like 29.97002997 -> 30000/1001).
+            factor = (
+                fractions.Fraction(retime_fps).limit_denominator(100_000)
+                / fractions.Fraction(meta.fps).limit_denominator(100_000)
             )
-        # Exact rational ratio (limit_denominator absorbs NTSC-style
-        # float fps like 29.97002997 -> 30000/1001).
-        factor = (
-            fractions.Fraction(retime_fps).limit_denominator(100_000)
-            / fractions.Fraction(meta.fps).limit_denominator(100_000)
-        )
-        m_slots = retime_slots(factor)
-        mode = "times"
+    except Exception:
+        reader.close()
+        raise
 
-    interp = Interpolator(
-        params, cfg, exp=exp, mode=mode, compute_dtype=compute_dtype,
-        use_pallas=use_pallas, data_parallel=data_parallel, spatial=spatial,
-        int8=int8, int8_margin=int8_margin, quant_stats=quant_stats,
-    )
-    m = m_slots if factor is not None else interp.mids_per_pair
-    # Sharded batches must divide evenly over the data mesh axis.
-    batch_size = -(-batch_size // interp.shard_count) * interp.shard_count
+    # m sizes the writer queue: exact max mids per pair under retiming
+    # (dispatch uses the per-BATCH max, which never exceeds it).
+    m = retime_slots(factor) if factor is not None else interp.mids_per_pair
 
     out_fps = (
         retime_fps if retime_fps is not None
@@ -712,9 +728,10 @@ def interpolate_video(
             # Pad the tail batch so the jit signature stays unique; the
             # padded rows are computed then dropped (lefts is shorter).
             pairs = pairs + [pairs[-1]] * (batch_size - n)
-        if plans is not None and m == 0:
-            # Pure downsampling to a divisor rate: every output is a
-            # source copy — no device work at all.
+        mb = m if plans is None else max(len(p_.ts) for p_ in plans)
+        if plans is not None and mb == 0:
+            # No mids in this batch (pure-copy outputs, or none at all —
+            # e.g. divisor-rate downsampling): no device work.
             inflight.append((lefts, plans, None))
             while len(inflight) > max_in_flight:
                 drain_one()
@@ -731,9 +748,13 @@ def interpolate_video(
         timers.pack += time.perf_counter() - t0
         t0 = time.perf_counter()
         if plans is not None:
-            # Per-pair times padded to the static slot count (padded
-            # slots compute a midpoint that drain_one never writes).
-            ts = np.full((batch_size, m), 0.5, np.float32)
+            # Per-pair times padded to the BATCH max slot count (padded
+            # slots compute a midpoint that drain_one never writes). The
+            # batch max, not the global max: for two-count factors like
+            # 1200/1001 most batches stay at the low count, so batch-1
+            # serving pays zero padded forwards (at most two jit widths
+            # per resolution).
+            ts = np.full((batch_size, mb), 0.5, np.float32)
             for i, pl_ in enumerate(plans):
                 ts[i, : len(pl_.ts)] = pl_.ts
             dev = interp.step(batch, ts)[: len(lefts)]

@@ -85,6 +85,10 @@ def interpolate_video_resumable(
     )
 
     mpath = _manifest_path(output_path)
+    # exp/mode are documented-ignored under retiming — normalize them in
+    # the signature so a resume with a different (unused) --exp matches.
+    if retime_fps is not None:
+        exp, mode = 1, "times"
     job_sig = {
         "input": os.path.abspath(input_path),
         "output": os.path.abspath(output_path),
@@ -162,12 +166,26 @@ def interpolate_video_resumable(
 
 
 def _finalize(output_path: str, manifest: Dict[str, Any], keep_segments: bool) -> None:
-    """Concatenate segment files into the final output (re-encode)."""
+    """Concatenate segment files into the final output (re-encode).
+
+    Zero-frame segments are skipped by the manifest's recorded frame
+    count: a retime segment can legitimately emit nothing (extreme
+    downsampling — no output timestamp in its pair range), and OpenCV
+    cannot even reopen the header-only file such a segment leaves."""
     from rrin_tpu.io.video import VideoReader, VideoWriter, probe_video
 
     seg_paths = [
+        _segment_path(output_path, s["idx"])
+        for s in manifest["segments"]
+        if s.get("frames", 0) > 0
+    ]
+    all_paths = [
         _segment_path(output_path, s["idx"]) for s in manifest["segments"]
     ]
+    if not seg_paths:
+        raise ValueError(
+            f"job produced no output frames at all ({output_path})"
+        )
     first = probe_video(seg_paths[0])
     writer = VideoWriter(
         output_path,
@@ -186,7 +204,7 @@ def _finalize(output_path: str, manifest: Dict[str, Any], keep_segments: bool) -
     finally:
         writer.close()
     if not keep_segments:
-        for sp in seg_paths:
+        for sp in all_paths:
             try:
                 os.remove(sp)
             except OSError:

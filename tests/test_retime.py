@@ -102,6 +102,35 @@ class TestRetimePlan:
         whole = retime_plan(F(17, 10), 0, 20)
         assert whole[7:12] == retime_plan(F(17, 10), 7, 5)
 
+    @pytest.mark.parametrize(
+        "factor",
+        [F(5, 2), F(1, 2), F(17, 10), F(3, 4), F(4), F(10001, 9999),
+         F(30000, 1001) / F(24), F(1200, 1001)],
+    )
+    def test_slots_closed_form_is_exact(self, factor):
+        """retime_slots must bound EVERY pair (a capped period scan
+        missed 10001/9999's 2-mid pair at index 4999)."""
+        slots = retime_slots(factor)
+        q = factor.denominator
+        # The schedule is periodic with period q; scan one full period
+        # (brute force) when feasible, else the known-worst residues.
+        if q <= 2048:
+            counts = [len(p.ts) for p in retime_plan(factor, 0, q)]
+        else:
+            # The max-mids pair has frac(p*factor) = (q-1)/q, i.e.
+            # p = (q-1) * a^{-1} mod q; probe it plus the copy pair 0.
+            inv = pow(factor.numerator % q, -1, q)
+            worst = ((q - 1) * inv) % q
+            counts = [len(retime_plan(factor, p, 1)[0].ts)
+                      for p in (0, worst)]
+        assert max(counts) == slots
+
+    def test_slots_huge_denominator_pair_4999(self):
+        # The concrete failure case: factor 10001/9999 needs 2 slots,
+        # first at pair 4999.
+        assert retime_slots(F(10001, 9999)) == 2
+        assert len(retime_plan(F(10001, 9999), 4999, 1)[0].ts) == 2
+
 
 class TestTimesStep:
     @pytest.mark.parametrize("exp", [1, 2])
@@ -205,6 +234,51 @@ class TestRetimePipeline:
         # tests/test_resumable.py.
         for x, y in zip(a, b):
             assert np.mean(np.abs(x.astype(int) - y.astype(int))) < 12.0
+
+    def test_two_width_factor_batch1(self, video, params, tmp_path):
+        # factor 17/10: pairs alternate 1 and 2 mids; at batch 1 each
+        # dispatch uses its own slot width (two jit widths, no padded
+        # forwards). floor(8 * 1.7) + 1 = 14 outputs.
+        out = str(tmp_path / "r17.mp4")
+        report = interpolate_video(video, out, params, retime_fps=17.0,
+                                   compute_dtype="float32")
+        assert report.frames_out == 14
+
+    def test_extreme_downsample_segments_finalize(self, video, params,
+                                                  tmp_path):
+        # factor 1/4 with 2-pair segments: one segment emits ZERO frames
+        # (no output timestamp in its range) — _finalize must skip its
+        # header-only file instead of wedging the job.
+        from rrin_tpu.resumable import interpolate_video_resumable
+
+        out = str(tmp_path / "down.mp4")
+        manifest = interpolate_video_resumable(
+            video, out, params, retime_fps=2.5, segment_pairs=2,
+            compute_dtype="float32", use_pallas=False, progress=False,
+        )
+        assert manifest["finished"]
+        assert [s["frames"] for s in manifest["segments"]] == [1, 0, 1, 1]
+        assert probe_video(out).frame_count == 3
+
+    def test_fps_assumed_container_rejected(self, video, params, tmp_path,
+                                            monkeypatch):
+        # A container with no fps metadata must not silently retime
+        # against the 30.0 display default.
+        import rrin_tpu.io.video as vio
+
+        real_init = vio.VideoReader.__init__
+
+        def patched(self, *a, **k):
+            real_init(self, *a, **k)
+            self.meta = vio.VideoMeta(
+                self.meta.width, self.meta.height, 30.0,
+                self.meta.frame_count, fps_assumed=True,
+            )
+
+        monkeypatch.setattr(vio.VideoReader, "__init__", patched)
+        with pytest.raises(ValueError, match="no fps metadata"):
+            interpolate_video(video, str(tmp_path / "x.mp4"), params,
+                              retime_fps=25.0, compute_dtype="float32")
 
     def test_retime_composes_with_int8(self, video, params, tmp_path):
         """Retiming rides Interpolator.step unchanged, so calibrated-int8
