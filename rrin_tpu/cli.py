@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "24->60, 30->24, NTSC rates): each output frame is "
                    "interpolated at its exact source time in ONE compiled "
                    "program (ignores --exp/--sf/--mode)")
+    p.add_argument("--slowmo", type=float, default=None, metavar="X",
+                   help="arbitrary-ratio slow motion (e.g. 2.5): "
+                   "interpolate X times the frames and keep the playback "
+                   "clock at the input rate (--fps overrides it); "
+                   "ignores --exp/--sf/--mode")
     p.add_argument("--fourcc", default="mp4v", help="output codec fourcc")
     p.add_argument("--align-corners", action="store_true",
                    help="use align_corners=True grid_sample semantics")
@@ -132,6 +137,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("error: --retime sets the output fps; drop --fps",
               file=sys.stderr)
         return 2
+    if args.retime is not None and args.slowmo is not None:
+        print("error: --retime and --slowmo are mutually exclusive",
+              file=sys.stderr)
+        return 2
 
     if args.status:
         import json
@@ -171,6 +180,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         int8=args.int8,
         int8_margin=args.int8_margin,
         retime_fps=args.retime,
+        slowmo=args.slowmo,
     )
     if args.calib:
         from rrin_tpu.params import load_calibration

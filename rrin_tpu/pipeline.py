@@ -602,6 +602,7 @@ def interpolate_video(
     quant_stats: Optional[Dict[str, Any]] = None,
     save_calib: Optional[str] = None,
     retime_fps: Optional[float] = None,
+    slowmo: Optional[float] = None,
 ) -> PipelineReport:
     """2^exp-upsample ``input_path``'s frame rate into ``output_path``.
 
@@ -615,6 +616,12 @@ def interpolate_video(
     ignored). Output frame count = floor((N-1) * retime_fps/fps_in) + 1 —
     timestamps never extrapolate past the last source frame.
 
+    ``slowmo`` is the same times-mode machinery with the output CLOCK kept
+    at the input rate: ``slowmo=2.5`` interpolates 2.5x the frames and
+    plays them at fps_in, i.e. arbitrary-ratio (non-power-of-two) slow
+    motion. ``fps_out`` may override the playback rate; mutually exclusive
+    with ``retime_fps``.
+
     ``start_frame``/``max_pairs``/``write_trailing_frame`` carve out a
     contiguous sub-range of source pairs — the building block of segmented
     resumable jobs (rrin_tpu.resumable, SURVEY.md §5 failure recovery):
@@ -623,9 +630,15 @@ def interpolate_video(
     """
     from rrin_tpu.io.video import VideoReader, VideoWriter
 
+    if retime_fps is not None and slowmo is not None:
+        raise ValueError("retime_fps and slowmo are mutually exclusive")
     if retime_fps is not None:
         if retime_fps <= 0:
             raise ValueError("retime_fps must be > 0")
+        mode = "times"
+    if slowmo is not None:
+        if slowmo <= 0:
+            raise ValueError("slowmo must be > 0")
         mode = "times"
 
     # Interpolator validation (mode/exp/sharding/int8 conflicts) runs
@@ -660,6 +673,10 @@ def interpolate_video(
                 fractions.Fraction(retime_fps).limit_denominator(100_000)
                 / fractions.Fraction(meta.fps).limit_denominator(100_000)
             )
+        elif slowmo is not None:
+            # Slow motion IS the factor (fps-independent: timestamps
+            # stretch, the playback clock stays at fps_in).
+            factor = fractions.Fraction(slowmo).limit_denominator(100_000)
     except Exception:
         reader.close()
         raise
@@ -670,7 +687,9 @@ def interpolate_video(
 
     out_fps = (
         retime_fps if retime_fps is not None
-        else fps_out if fps_out is not None else meta.fps * (1 << exp)
+        else fps_out if fps_out is not None
+        else meta.fps if slowmo is not None
+        else meta.fps * (1 << exp)
     )
     writer = VideoWriter(
         output_path, out_fps, (meta.height, meta.width), fourcc=fourcc,

@@ -64,6 +64,7 @@ def interpolate_video_resumable(
     quant_stats: Optional[Dict[str, Any]] = None,
     save_calib: Optional[str] = None,
     retime_fps: Optional[float] = None,
+    slowmo: Optional[float] = None,
 ) -> Dict[str, Any]:
     """Run (or resume) a segmented interpolation job; returns the manifest.
 
@@ -81,13 +82,15 @@ def interpolate_video_resumable(
     n_segments = -(-n_pairs // segment_pairs)
     out_fps = (
         retime_fps if retime_fps is not None
-        else fps_out if fps_out is not None else meta.fps * (1 << exp)
+        else fps_out if fps_out is not None
+        else meta.fps if slowmo is not None
+        else meta.fps * (1 << exp)
     )
 
     mpath = _manifest_path(output_path)
     # exp/mode are documented-ignored under retiming — normalize them in
     # the signature so a resume with a different (unused) --exp matches.
-    if retime_fps is not None:
+    if retime_fps is not None or slowmo is not None:
         exp, mode = 1, "times"
     job_sig = {
         "input": os.path.abspath(input_path),
@@ -100,6 +103,7 @@ def interpolate_video_resumable(
         "fps_out": out_fps,
         "fourcc": fourcc,
         "retime_fps": retime_fps,
+        "slowmo": slowmo,
     }
     manifest: Dict[str, Any]
     if resume and os.path.exists(mpath):
@@ -148,6 +152,7 @@ def interpolate_video_resumable(
                 int8_margin=int8_margin,
                 quant_stats=quant_stats,
                 retime_fps=retime_fps,
+                slowmo=slowmo,
                 # Only the first still-running segment writes the calib
                 # file; later segments (and resumes) load it back via
                 # quant_stats at the CLI layer or recalibrate identically.

@@ -304,6 +304,47 @@ class TestRetimePipeline:
             np.testing.assert_array_equal(x, y)
 
 
+class TestSlowmo:
+    def test_slowmo2_matches_exp1_with_source_clock(self, video, params,
+                                                    tmp_path):
+        """slowmo=2 produces exactly the exp=1 frame sequence but keeps
+        the playback clock at fps_in (half-speed motion)."""
+        out_exp = str(tmp_path / "sm_exp.mp4")
+        out_sm = str(tmp_path / "sm.mp4")
+        interpolate_video(video, out_exp, params, exp=1,
+                          compute_dtype="float32")
+        interpolate_video(video, out_sm, params, slowmo=2.0,
+                          compute_dtype="float32")
+        a = list(VideoReader(out_exp))
+        b = list(VideoReader(out_sm))
+        assert len(a) == len(b) == 2 * (N_FRAMES - 1) + 1
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+        assert abs(probe_video(out_sm).fps - FPS) < 0.01  # source clock
+
+    def test_slowmo_non_power_of_two(self, video, params, tmp_path):
+        out = str(tmp_path / "sm25.mp4")
+        report = interpolate_video(video, out, params, slowmo=2.5,
+                                   compute_dtype="float32")
+        assert report.frames_out == 21  # floor(8 * 2.5) + 1
+        assert abs(probe_video(out).fps - FPS) < 0.01
+
+    def test_slowmo_excludes_retime(self, video, params, tmp_path):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            interpolate_video(video, str(tmp_path / "x.mp4"), params,
+                              retime_fps=25.0, slowmo=2.0)
+
+    def test_cli_slowmo(self, video, tmp_path):
+        out = str(tmp_path / "cli_sm.mp4")
+        rc = cli_main([
+            "-i", video, "-o", out, "--slowmo", "2.5", "--fp32", "--quiet",
+            "--no-pallas",
+        ])
+        assert rc == 0
+        assert probe_video(out).frame_count == 21
+        assert abs(probe_video(out).fps - FPS) < 0.01
+
+
 class TestRetimeCLI:
     def test_cli_retime(self, video, tmp_path):
         out = str(tmp_path / "cli_r.mp4")
