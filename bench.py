@@ -231,6 +231,38 @@ def run_selfcheck() -> dict:
                  np.asarray(gotfq, np.float64)), 1
     )
 
+    # Dense-entry stem (models/unet.py DENSE_ENTRY): P=8/C=16 pack,
+    # conv1 contraction at P=8 with the in-kernel P-halving interleave
+    # (m_double), bf16 and entry-quantized int8 — the production entry
+    # geometry of all four U-Nets.
+    de = jnp.asarray(rng.random((1, 64, 443, 6), dtype=np.float32)) - 0.5
+    dep, despec = pack(de, p=8, off=5, m=64, c_pad=16)
+    wde = jnp.asarray(
+        (rng.random((7, 7, 6, 32), dtype=np.float32) - 0.5) * 0.3
+    )
+    bde = jnp.asarray((rng.random(32, dtype=np.float32) - 0.5))
+    gotde, _ = conv_packed([(dep, despec, 6)], wde, bde, 2, 0.1,
+                           m_double=True)
+    refde = _conv_packed_xla(
+        [dep], wde, bde, (despec,), (6,), 2, 0.1, m_double=True
+    )
+    report["conv_dense_entry_psnr_db"] = round(
+        _psnr_db(np.asarray(refde), np.asarray(gotde)), 1
+    )
+    axde = jnp.max(jnp.abs(de))
+    oaxde = jnp.float32(6.0)
+    gotdeq, _ = conv_packed([(dep, despec, 6)], wde, bde, 2, 0.1,
+                            in_absmax=(axde,), out_absmax=oaxde,
+                            m_double=True)
+    refdeq = _conv_packed_xla(
+        [dep], wde, bde, (despec,), (6,), 2, 0.1, (axde,), oaxde,
+        m_double=True,
+    )
+    report["conv_dense_entry_int8_psnr_db"] = round(
+        _psnr_db(np.asarray(refdeq, np.float64),
+                 np.asarray(gotdeq, np.float64)), 1
+    )
+
     # int8 variants of both packed kernels vs the fake-quant XLA fallback
     # (same int8 grid; difference is int32-exact vs f32 accumulation).
     amax = (jnp.max(jnp.abs(a)), jnp.max(jnp.abs(bb)))
@@ -262,6 +294,8 @@ def run_selfcheck() -> dict:
         and report["conv_up_m_int8_psnr_db"] > 40.0
         and report["conv_up_f_psnr_db"] > 60.0
         and report["conv_up_f_int8_psnr_db"] > 40.0
+        and report["conv_dense_entry_psnr_db"] > 60.0
+        and report["conv_dense_entry_int8_psnr_db"] > 40.0
     )
     return report
 

@@ -23,6 +23,7 @@ TPU-first design notes:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -236,6 +237,16 @@ _PK = {
     "u3c1": 1, "u3c2": 0, "u4c1": 3, "u4c2": 2, "head": 1,
 }
 
+# Dense-entry toggle (A/B-able; env RRIN_DENSE_ENTRY=0 disables): pack
+# the U-Net input at P=8/C=16 (offset 5) instead of P=4/C=32 — half the
+# entry pad+copy+quantize bytes; conv1 runs at P=8 and re-emits the
+# standard P=4 layout in-kernel. Requires cin <= 16 (all four RRIN
+# U-Nets: 6/10/16/9); falls back per-call otherwise. Same math as the
+# classic entry through conv2's output. NOTE: read at trace time — flip
+# it between jitted calls only with jax.clear_caches(), or via the env
+# var in a fresh process (the A/B path).
+DENSE_ENTRY = os.environ.get("RRIN_DENSE_ENTRY", "1") != "0"
+
 
 def packed_supported(h: int, w: int, cfg: ModelConfig) -> bool:
     """Whether the packed fast path applies to these shapes + config."""
@@ -422,12 +433,12 @@ def unet_apply_packed(
         """Re-round a carried-int8 tensor after a convex f32 combo."""
         return jnp.clip(jnp.round(t), -127.0, 127.0).astype(jnp.int8)
 
-    def conv(parts, prm, off_out, slope=s, site=None):
+    def conv(parts, prm, off_out, slope=s, site=None, **kw):
         am = amax_for(site)
         pr, co = _pc(site)
         return conv_packed(parts, prm["w"], prm["b"], off_out, slope,
                            in_absmax=am, out_absmax=out_q(site),
-                           out_dtype=dt, prepared=pr, collect=co)
+                           out_dtype=dt, prepared=pr, collect=co, **kw)
 
     def conv_up(t, ts, real_c, prm, off_out, site):
         """2x upsample + conv1 of an up stage: phase-folded kernel when
@@ -493,15 +504,31 @@ def unet_apply_packed(
             return _rq(upsample_2x_bilinear(t.astype(jnp.float32)))
         return upsample_2x_bilinear(t)
 
-    # Stem + down1: P=4 then P=2, packed end-to-end.
+    # Stem + down1: P=4 (P=8 dense entry) then P=2, packed end-to-end.
     # (Measured dead end: quantizing x BEFORE this pack — so the pack
     # writes int8 once — dropped 1080p int8 16.0 -> 14.1 fps on TPU. The
     # int8 NHWC intermediate takes XLA's (32,128)-tiled layout with a
     # tiny channel minor dim, costing more than the saved bf16 pass.
     # Keep quantize on the packed tensor, kernel-side.)
-    xp, sp = pack(x, 4, _PK["entry"], m0, c_pad=32)
-    xp, sp = conv([(xp, sp, cin)], p["conv1"], _PK["c1"], site="c1")
-    s1, s1s = conv([(xp, sp, 32)], p["conv2"], _PK["c2"], site="c2")
+    if DENSE_ENTRY and cin <= 16:
+        # Dense entry: pack at P=8/C=16 — HALF the entry pad+copy (and
+        # int8 quantize) bytes of the P=4/C=32 pack, and a denser stem B2
+        # (fewer, deeper dots: 2x128x256 vs 3x128x128 blocks per dy). The
+        # conv1 contraction runs in the P=8 geometry and re-emits the
+        # standard P=4/C=32 layout via the in-kernel sublane interleave
+        # (m_double); conv2 trims M back to the plan's m0, so everything
+        # from s1 on is byte-identical to the classic entry. Offset 5
+        # keeps conv1's group shift integral: (5 - 3 - _PK[c1]) % 8 == 0.
+        m_e = -(-m0 // 16) * 8
+        xp, sp = pack(x, 8, 5, m_e, c_pad=16)
+        xp, sp = conv([(xp, sp, cin)], p["conv1"], _PK["c1"], site="c1",
+                      m_double=True)
+        s1, s1s = conv([(xp, sp, 32)], p["conv2"], _PK["c2"], site="c2",
+                       m_out=None if sp.m == m0 else m0)
+    else:
+        xp, sp = pack(x, 4, _PK["entry"], m0, c_pad=32)
+        xp, sp = conv([(xp, sp, cin)], p["conv1"], _PK["c1"], site="c1")
+        s1, s1s = conv([(xp, sp, 32)], p["conv2"], _PK["c2"], site="c2")
     if fuse_d1:
         t, ts = conv_pool(s1, s1s, 32, p["down1"]["conv1"], _PK["d1c1"],
                           "d1c1")

@@ -98,9 +98,19 @@ def _kernel_body(
     *, k: int, q: int, m: int, h: int, wls, s_shifts, lins, lout: int,
     cout: int, p: int, off_out: int, w_real: int, slope: Optional[float],
     out_dtype, quant: bool = False, quant_out: bool = False,
+    rows: Optional[int] = None, m_double_out: bool = False,
 ):
+    """``m`` is the operands' storage-group count (the window DMA width);
+    ``rows`` (default m) is the OUTPUT group count in the contraction
+    geometry — rows < m trims tail guard groups so a site can rejoin a
+    narrower downstream plan. ``m_double_out`` stores each (rows, lout)
+    result row as (2*rows, lout//2): the P-halving reinterpretation (out
+    lane slot*cout+co with slot in [0,P) splits into two P/2-slot groups),
+    a pure sublane interleave — the dense-entry stem (models/unet.py) uses
+    it to emit the standard P=4 layout from a P=8 contraction."""
     hh = (k - 1) // 2
     n_in = len(wls)
+    rows = m if rows is None else rows
     sentinel = WIN_ROWS  # memset-zero row index in every window
     acc_dt = jnp.int32 if quant else jnp.float32
     fuse_dy = _fuse_dy(k, lout)
@@ -151,9 +161,11 @@ def _kernel_body(
                     )
 
         # Output guard mask: storage pixels outside [off_out, off_out+W)
-        # must stay zero for the next conv's SAME padding.
-        mi = jax.lax.broadcasted_iota(jnp.int32, (m, lout), 0)
-        li = jax.lax.broadcasted_iota(jnp.int32, (m, lout), 1)
+        # must stay zero for the next conv's SAME padding. (Built in the
+        # contraction geometry — under m_double_out the P/2 view addresses
+        # the same storage pixels, so the mask is correct either way.)
+        mi = jax.lax.broadcasted_iota(jnp.int32, (rows, lout), 0)
+        li = jax.lax.broadcasted_iota(jnp.int32, (rows, lout), 1)
         pix = p * mi + li // cout
         gmask = jnp.logical_and(pix >= off_out, pix < off_out + w_real)
 
@@ -168,19 +180,19 @@ def _kernel_body(
                 a_abs = r0 + j - hh
                 valid = jnp.logical_and(a_abs >= 0, a_abs < h)
                 a_idx = jnp.where(valid, a_abs - ws, sentinel)
-                pj = jnp.zeros((m, k * lout), acc_dt)
+                pj = jnp.zeros((rows, k * lout), acc_dt)
                 for i in range(n_in):
                     for qi in range(q):
                         cs = wls[i] + s_shifts[i] + qi
                         pj = pj + jnp.dot(
-                            wins[i][a_idx, pl.ds(cs, m), :],
+                            wins[i][a_idx, pl.ds(cs, rows), :],
                             b2_refs[i][qi],
                             preferred_element_type=acc_dt,
                         )
                 pbuf[j] = pj
 
         for yo in range(RB):
-            acc = jnp.zeros((m, lout), acc_dt)
+            acc = jnp.zeros((rows, lout), acc_dt)
             if fuse_dy:
                 for dy in range(k):
                     acc = acc + pbuf[yo + dy][
@@ -195,7 +207,7 @@ def _kernel_body(
                         for qi in range(q):
                             cs = wls[i] + s_shifts[i] + qi
                             acc = acc + jnp.dot(
-                                wins[i][a_idx, pl.ds(cs, m), :],
+                                wins[i][a_idx, pl.ds(cs, rows), :],
                                 b2_refs[i][dy * q + qi],
                                 preferred_element_type=acc_dt,
                             )
@@ -210,7 +222,13 @@ def _kernel_body(
                 # scale/bias were pre-folded by 127/ax_out (commutes with
                 # LeakyReLU), so the epilogue only rounds to the int8 grid.
                 acc = jnp.clip(jnp.round(acc), -127.0, 127.0)
-            out_ref[0, yo] = acc.astype(out_dtype)
+            acc = acc.astype(out_dtype)
+            if m_double_out:
+                half = lout // 2
+                acc = jnp.stack(
+                    [acc[:, :half], acc[:, half:]], axis=1
+                ).reshape(2 * rows, half)
+            out_ref[0, yo] = acc
 
     return kernel
 
@@ -339,6 +357,7 @@ def prep_conv(
     jax.jit,
     static_argnames=(
         "specs", "real_cs", "k", "cout", "off_out", "slope", "out_dtype",
+        "m_out", "m_double",
     ),
 )
 def _conv_packed_impl(
@@ -353,6 +372,8 @@ def _conv_packed_impl(
     absmax: Optional[Tuple[jnp.ndarray, ...]] = None,
     out_absmax: Optional[jnp.ndarray] = None,
     out_dtype=None,
+    m_out: Optional[int] = None,
+    m_double: bool = False,
 ) -> jnp.ndarray:
     b, h, m, _ = xs[0].shape
     p = specs[0].p
@@ -386,18 +407,21 @@ def _conv_packed_impl(
         # out_dtype only affects the epilogue cast.
         win_dt = in_f[0].dtype if in_f else jnp.bfloat16
 
+    rows = m if m_out is None else m_out
+    assert rows <= m and rows % 8 == 0, (rows, m)
+    assert not m_double or lout % (2 * LANES) == 0, lout
     fuse_dy = _fuse_dy(k, lout)
     kernel = _kernel_body(
         k=k, q=q, m=m, h=h, wls=tuple(wls), s_shifts=tuple(s_shifts),
         lins=tuple(lins), lout=lout, cout=cout, p=p, off_out=off_out,
         w_real=specs[0].w, slope=slope, out_dtype=dtype, quant=quant,
-        quant_out=out_absmax is not None,
+        quant_out=out_absmax is not None, rows=rows, m_double_out=m_double,
     )
     n_in = len(xs)
     scratch = [
         pltpu.VMEM(
             (WIN_ROWS + 1,
-             wls[i] + m + max(0, s_shifts[i] + q - 1),
+             wls[i] + max(m, rows + max(0, s_shifts[i] + q - 1)),
              lins[i]),
             win_dt,
         )
@@ -406,7 +430,7 @@ def _conv_packed_impl(
     if fuse_dy:
         scratch.append(
             pltpu.VMEM(
-                (RB + k - 1, m, k * lout),
+                (RB + k - 1, rows, k * lout),
                 jnp.int32 if quant else jnp.float32,
             )
         )
@@ -415,16 +439,17 @@ def _conv_packed_impl(
     if quant:
         operands.append(scale_lanes)
         n_vmem += 1
+    out_m, out_l = (2 * rows, lout // 2) if m_double else (rows, lout)
     return pl.pallas_call(
         kernel,
         grid=(b, h // RB),
-        out_shape=jax.ShapeDtypeStruct((b, h, m, lout), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, out_m, out_l), dtype),
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * n_in
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem
         ),
         out_specs=pl.BlockSpec(
-            (1, RB, m, lout), lambda bi, ri: (bi, ri, 0, 0),
+            (1, RB, out_m, out_l), lambda bi, ri: (bi, ri, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((n_in,))],
@@ -1300,13 +1325,20 @@ def _conv_packed_xla(
     absmax: Optional[Tuple[jnp.ndarray, ...]] = None,
     out_absmax: Optional[jnp.ndarray] = None,
     out_dtype=None,
+    m_out: Optional[int] = None,
+    m_double: bool = False,
 ) -> jnp.ndarray:
     """Reference/fallback: unpack -> concat -> XLA conv -> repack.
     Semantically identical to the kernel (including output guard zeros);
     with ``absmax`` it fake-quantizes activations and weights through the
     SAME int8 grid the Mosaic kernel uses, so CPU tests gate the exact
     int8 math. int8-dtyped operands are taken as already on their grid;
-    ``out_absmax`` quantizes the result to int8 like the kernel epilogue."""
+    ``out_absmax`` quantizes the result to int8 like the kernel epilogue.
+    ``m_out``/``m_double`` mirror :func:`conv_packed`'s output geometry."""
+    rows = specs[0].m if m_out is None else m_out
+    p_out, m_fin = (
+        (specs[0].p // 2, 2 * rows) if m_double else (specs[0].p, rows)
+    )
     if absmax is None:
         xn = jnp.concatenate(
             [unpack(x, s, c=rc) for x, s, rc in zip(xs, specs, real_cs)],
@@ -1315,7 +1347,7 @@ def _conv_packed_xla(
         y = _conv_xla(xn, w.astype(xn.dtype), bias, slope)
         if out_dtype is not None:
             y = y.astype(out_dtype)
-        yp, _ = pack(y, specs[0].p, off_out, specs[0].m)
+        yp, _ = pack(y, p_out, off_out, m_fin)
         return yp
 
     row, wis = 0, []
@@ -1349,7 +1381,7 @@ def _conv_packed_xla(
     else:
         fdt = [x.dtype for x in xs if x.dtype != jnp.int8]
         y = y.astype(out_dtype or (fdt[0] if fdt else jnp.bfloat16))
-    yp, _ = pack(y, specs[0].p, off_out, specs[0].m)
+    yp, _ = pack(y, p_out, off_out, m_fin)
     return yp
 
 
@@ -1364,6 +1396,8 @@ def conv_packed(
     out_dtype=None,
     prepared: Optional[dict] = None,
     collect=None,
+    m_out: Optional[int] = None,
+    m_double: bool = False,
 ) -> Tuple[jnp.ndarray, PackedSpec]:
     """Packed-in/packed-out conv2d(stride 1, SAME) + bias + LeakyReLU.
 
@@ -1393,6 +1427,14 @@ def conv_packed(
     exact site — skips rebuilding B2/bias/scales inside the jitted frame.
     ``collect``: a ``(store, key)`` pair; the site's prep is computed and
     recorded in ``store[key]`` (the prepare-once collection pass).
+
+    ``m_out``: trim the output to the first m_out storage groups (tail
+    guard groups dropped) so a wider-M operand chain can rejoin a
+    narrower plan. ``m_double``: emit the output reinterpreted at
+    P/2 — (B, H, 2*m_out, P*cout/2), lane = slot*cout + co with slot in
+    [0, P/2) — via an in-kernel sublane interleave; the dense-entry stem
+    (a P=8, C<=16 entry pack at HALF the pad+copy bytes of the P=4, C=32
+    one) uses it to hand the standard P=4 layout to the rest of the net.
     """
     k = w.shape[0]
     xs, specs, real_cs = zip(*[
@@ -1403,9 +1445,16 @@ def conv_packed(
     assert sum(real_cs) == w.shape[2], (real_cs, w.shape)
     assert in_absmax is None or len(in_absmax) == len(parts)
     assert out_absmax is None or in_absmax is not None
-    out_spec = PackedSpec(
-        p=specs[0].p, c=cout, w=specs[0].w, off=off_out, m=specs[0].m
-    )
+    rows = specs[0].m if m_out is None else m_out
+    if m_double:
+        assert specs[0].p % 2 == 0 and (specs[0].p * cout) % 256 == 0
+        out_spec = PackedSpec(
+            p=specs[0].p // 2, c=cout, w=specs[0].w, off=off_out, m=2 * rows
+        )
+    else:
+        out_spec = PackedSpec(
+            p=specs[0].p, c=cout, w=specs[0].w, off=off_out, m=rows
+        )
     amax = tuple(in_absmax) if in_absmax is not None else None
     if prepared is None:
         fdt = [x.dtype for x in xs if x.dtype != jnp.int8]
@@ -1420,7 +1469,7 @@ def conv_packed(
     if _FORCE_KERNEL:  # interpret-mode tests on CPU
         y = _conv_packed_impl(
             xs, prepared, specs, real_cs, k, cout, off_out, slope, amax,
-            out_absmax, out_dtype,
+            out_absmax, out_dtype, m_out=m_out, m_double=m_double,
         )
         return y, out_spec
     if amax is None:
@@ -1429,10 +1478,11 @@ def conv_packed(
             tpu=lambda a, pr, ww, bb: _conv_packed_impl(
                 a, pr, specs, real_cs, k, cout,
                 off_out, slope, out_dtype=out_dtype,
+                m_out=m_out, m_double=m_double,
             ),
             default=lambda a, pr, ww, bb: _conv_packed_xla(
                 a, ww, bb, specs, real_cs, off_out, slope,
-                out_dtype=out_dtype,
+                out_dtype=out_dtype, m_out=m_out, m_double=m_double,
             ),
         )
     else:
@@ -1442,10 +1492,12 @@ def conv_packed(
             tpu=lambda a, pr, ww, bb, am, *oa: _conv_packed_impl(
                 a, pr, specs, real_cs, k, cout,
                 off_out, slope, tuple(am), oa[0] if oa else None, out_dtype,
+                m_out=m_out, m_double=m_double,
             ),
             default=lambda a, pr, ww, bb, am, *oa: _conv_packed_xla(
                 a, ww, bb, specs, real_cs, off_out, slope, tuple(am),
                 oa[0] if oa else None, out_dtype,
+                m_out=m_out, m_double=m_double,
             ),
         )
     return y, out_spec

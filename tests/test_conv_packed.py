@@ -183,3 +183,143 @@ class TestConvPackedParity:
         np.testing.assert_allclose(
             np.asarray(unpack(y2, s2)), np.asarray(want), atol=3e-4, rtol=3e-4
         )
+
+
+class TestDenseEntry:
+    """Dense-entry geometry (models/unet.py DENSE_ENTRY): P=8/C=16 pack,
+    conv1 contraction at P=8 with the in-kernel P-halving interleave
+    (m_double), conv2 trimming M back to the narrower plan (m_out)."""
+
+    def _entry_case(self, rng, h=32, w_real=52, cin=6, dtype=jnp.float32):
+        x = jnp.asarray(
+            rng.random((1, h, w_real, cin), dtype=np.float32), dtype
+        )
+        wgt = jnp.asarray(
+            (rng.random((7, 7, cin, 32), dtype=np.float32) - 0.5) * 0.3,
+            dtype,
+        )
+        bias = jnp.asarray(rng.random(32, dtype=np.float32) - 0.5)
+        return x, wgt, bias
+
+    def test_m_double_matches_xla_reference(self, rng):
+        x, wgt, bias = self._entry_case(rng)
+        xp, spec = pack(x, p=8, off=5, m=8, c_pad=16)
+        assert xp.shape[-1] == 128
+        parts = [(xp, spec, 6)]
+        cpk._FORCE_KERNEL = True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got, gspec = conv_packed(
+                    parts, wgt, bias, 2, 0.1, m_double=True
+                )
+        finally:
+            cpk._FORCE_KERNEL = False
+        assert gspec == PackedSpec(p=4, c=32, w=52, off=2, m=16)
+        assert got.shape == (1, 32, 16, 128)
+        want = _conv_packed_xla(
+            [xp], wgt, bias, (spec,), (6,), 2, 0.1, m_double=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+        )
+
+    def test_dense_entry_equals_classic_entry(self, rng):
+        """The P=8 dense entry must be numerically the P=4/C=32 classic
+        entry (same conv, different packing): unpacked outputs equal."""
+        x, wgt, bias = self._entry_case(rng)
+        xd, sd = pack(x, p=8, off=5, m=8, c_pad=16)
+        xc, sc = pack(x, p=4, off=1, m=16, c_pad=32)
+        got_d, spec_d = _run_kernel_kw(
+            [(xd, sd, 6)], wgt, bias, 2, 0.1, m_double=True
+        )
+        got_c, spec_c = _run_kernel_kw([(xc, sc, 6)], wgt, bias, 2, 0.1)
+        np.testing.assert_allclose(
+            np.asarray(unpack(got_d, spec_d)),
+            np.asarray(unpack(got_c, spec_c)),
+            atol=2e-4, rtol=2e-4,
+        )
+
+    def test_m_out_trims_tail_guards(self, rng):
+        """conv2 of the dense-entry chain: wider-M input (from m_double),
+        output trimmed to the plan's m0 — equals the reference on the
+        same trim, and equals the untrimmed run on the kept groups."""
+        x = jnp.asarray(rng.random((1, 32, 52, 32), dtype=np.float32))
+        xp, spec = pack(x, p=4, off=2, m=24)  # wider than needed (m0=16)
+        wgt = jnp.asarray(
+            (rng.random((7, 7, 32, 32), dtype=np.float32) - 0.5) * 0.3
+        )
+        bias = jnp.asarray(rng.random(32, dtype=np.float32) - 0.5)
+        got, gspec = _run_kernel_kw([(xp, spec, 32)], wgt, bias, 3, 0.1,
+                                    m_out=16)
+        assert gspec.m == 16 and got.shape == (1, 32, 16, 128)
+        want = _conv_packed_xla(
+            [xp], wgt, bias, (spec,), (32,), 3, 0.1, m_out=16
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+        )
+        full, _ = _run_kernel_kw([(xp, spec, 32)], wgt, bias, 3, 0.1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(full)[:, :, :16, :],
+            atol=2e-4, rtol=2e-4,
+        )
+
+    def test_entry_chain_matches_nhwc(self, rng):
+        """Full dense stem: pack(P8) -> conv1(m_double) -> conv2(m_out)
+        equals the NHWC conv chain."""
+        from rrin_tpu.ops.conv_phase import _conv_xla
+
+        x, w1, b1 = self._entry_case(rng)
+        w2 = jnp.asarray(
+            (rng.random((7, 7, 32, 32), dtype=np.float32) - 0.5) * 0.3
+        )
+        b2 = jnp.asarray(rng.random(32, dtype=np.float32) - 0.5)
+        xp, spec = pack(x, p=8, off=5, m=16, c_pad=16)  # wide entry
+        y1, s1 = _run_kernel_kw([(xp, spec, 6)], w1, b1, 2, 0.1,
+                                m_double=True)
+        assert s1.m == 32
+        y2, s2 = _run_kernel_kw([(y1, s1, 32)], w2, b2, 3, 0.1, m_out=16)
+        want = _conv_xla(_conv_xla(x, w1, b1, 0.1), w2, b2, 0.1)
+        np.testing.assert_allclose(
+            np.asarray(unpack(y2, s2)), np.asarray(want),
+            atol=3e-4, rtol=3e-4,
+        )
+
+    def test_m_double_int8_carry(self, rng):
+        """Dense entry on the int8 path: quantized input contraction,
+        int8 carried output (out_absmax), against the fake-quant ref."""
+        x, wgt, bias = self._entry_case(rng)
+        xp, spec = pack(x, p=8, off=5, m=8, c_pad=16)
+        ax = (jnp.float32(1.0),)
+        oax = jnp.float32(8.0)
+        cpk._FORCE_KERNEL = True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                got, gspec = conv_packed(
+                    [(xp, spec, 6)], wgt, bias, 2, 0.1,
+                    in_absmax=ax, out_absmax=oax, m_double=True,
+                )
+        finally:
+            cpk._FORCE_KERNEL = False
+        assert got.dtype == jnp.int8 and gspec.p == 4
+        want = _conv_packed_xla(
+            [xp], wgt, bias, (spec,), (6,), 2, 0.1, ax, oax,
+            m_double=True,
+        )
+        # f32 accumulation-order can flip round-to-grid ties by 1 quantum
+        # on isolated elements; anything larger is a real geometry bug.
+        diff = np.abs(
+            np.asarray(got, np.int32) - np.asarray(want, np.int32)
+        )
+        assert diff.max() <= 1 and (diff != 0).mean() < 0.01, (
+            diff.max(), (diff != 0).mean()
+        )
+
+
+def _run_kernel_kw(parts, w, b, off_out, slope, **kw):
+    cpk._FORCE_KERNEL = True
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            return conv_packed(parts, w, b, off_out, slope, **kw)
+    finally:
+        cpk._FORCE_KERNEL = False
