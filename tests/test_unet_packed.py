@@ -146,3 +146,39 @@ class TestForwardPacked:
         i0 = jnp.zeros((1, 48, 64, 3), jnp.float32)
         with pytest.raises(ValueError, match="inference-only"):
             forward(params, i0, i0, 0.5, cfg=CFG, packed=True, remat=True)
+
+
+class TestDenseEntryFlag:
+    """DENSE_ENTRY on/off must be numerically interchangeable (both are
+    the same conv; only the entry packing geometry differs) — protects
+    BOTH entry paths now that dense is the default."""
+
+    def _run(self, x, dense, kernel=False):
+        import rrin_tpu.models.unet as un
+
+        p = unet_init(jax.random.key(2), 6, 4, CFG)
+        old = un.DENSE_ENTRY
+        un.DENSE_ENTRY = dense
+        try:
+            if kernel:
+                cpk._FORCE_KERNEL = True
+                try:
+                    with pltpu.force_tpu_interpret_mode():
+                        return np.asarray(unet_apply_packed(p, x, CFG))
+                finally:
+                    cpk._FORCE_KERNEL = False
+            return np.asarray(unet_apply_packed(p, x, CFG))
+        finally:
+            un.DENSE_ENTRY = old
+
+    def test_flag_off_equals_on_xla(self, rng):
+        x = jnp.asarray(rng.random((1, 48, 64, 6), dtype=np.float32))
+        a = self._run(x, dense=True)
+        b = self._run(x, dense=False)
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    def test_flag_off_equals_on_interpret_kernel(self, rng):
+        x = jnp.asarray(rng.random((1, 48, 64, 6), dtype=np.float32))
+        a = self._run(x, dense=True, kernel=True)
+        b = self._run(x, dense=False, kernel=True)
+        assert _psnr(a, b) > 60, _psnr(a, b)
