@@ -148,7 +148,10 @@ def evaluate(
         by_res.setdefault(hw, []).append(d)
 
     for res, dirs in by_res.items():
-        quant_stats = preset_stats  # per-group: recalibrated each group
+        # Per-group: recalibrated each group. Calibration stats only
+        # apply to the int8 path — a preset given without int8 must not
+        # silently switch the scored path (or crash under --no-pallas).
+        quant_stats = preset_stats if int8 else None
         for i in range(0, len(dirs), batch_size):
             chunk = dirs[i : i + batch_size]
             trips = [load_triplet(d) for d in chunk]

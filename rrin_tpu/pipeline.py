@@ -536,9 +536,14 @@ class Interpolator:
             # full fast path (Mosaic kernels + carried int8) per device.
             from rrin_tpu.parallel.sharding import shard_pairs
 
-            dp = self._dp_steps.get(hw_key)
+            # Keyed by pad_hw (NOT hw_key): two true sizes can share one
+            # padded size (1080 and 1088 both pad to 1088) but need
+            # different baked-in pads; the jit inside retraces per input
+            # shape, so one pad_hw entry serves every resolution with
+            # that pad.
+            dp = self._dp_steps.get(pad_hw)
             if dp is None:
-                dp = self._dp_steps[hw_key] = self._make_dp_step(pad_hw)
+                dp = self._dp_steps[pad_hw] = self._make_dp_step(pad_hw)
             batch = shard_pairs(self.mesh, pairs_u8)
             if ts is not None:
                 from rrin_tpu.parallel.sharding import DATA_AXIS
@@ -640,6 +645,13 @@ def interpolate_video(
         if slowmo <= 0:
             raise ValueError("slowmo must be > 0")
         mode = "times"
+    if mode == "times" and retime_fps is None and slowmo is None:
+        # Interpolator itself accepts mode='times' (per-step ts), but at
+        # the video level the times come from a retime/slowmo factor —
+        # fail here, not mid-run after the output file exists.
+        raise ValueError(
+            "mode='times' at the video level requires retime_fps or slowmo"
+        )
 
     # Interpolator validation (mode/exp/sharding/int8 conflicts) runs
     # BEFORE any file handle or decode thread exists.

@@ -55,15 +55,20 @@ def laplacian(pred: jnp.ndarray, target: jnp.ndarray, levels: int = 5) -> jnp.nd
 
     total = jnp.float32(0.0)
     p, t = pred, target
-    for lvl in range(levels):
+    built = 0  # bands actually built (odd/small crops stop the pyramid)
+    for _ in range(levels):
         if p.shape[1] % 2 or p.shape[2] % 2 or min(p.shape[1:3]) <= 2:
             break
         pd, td = avg_pool_2x(p), avg_pool_2x(t)
         lap_p = p - upsample_2x_bilinear(pd)
         lap_t = t - upsample_2x_bilinear(td)
-        total = total + (2.0 ** lvl) * jnp.mean(jnp.abs(lap_p - lap_t))
+        total = total + (2.0 ** built) * jnp.mean(jnp.abs(lap_p - lap_t))
         p, t = pd, td
-    return total + (2.0 ** levels) * jnp.mean(jnp.abs(p - t))
+        built += 1
+    # Top (low-pass) term continues the schedule at the NEXT weight — on
+    # a crop that admitted fewer bands, 2**levels would discontinuously
+    # overweight the residual (a 32x-scaled L1 masquerading as LapLoss).
+    return total + (2.0 ** built) * jnp.mean(jnp.abs(p - t))
 
 
 LOSSES = {"charbonnier": charbonnier, "l1": l1, "laplacian": laplacian}
@@ -285,6 +290,11 @@ def main(argv=None) -> int:
                    help="rematerialize U-Nets under autodiff "
                    "(jax.checkpoint): fits much larger crops in HBM")
     args = p.parse_args(argv)
+
+    # Validate the data source BEFORE the 32M-param model/optimizer are
+    # built (Trainer.create is minutes on a tunneled TPU backend).
+    if not (args.synthetic or args.data):
+        p.error("one of --data or --synthetic is required")
 
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)

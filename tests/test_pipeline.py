@@ -244,3 +244,48 @@ class TestOddResolutions:
         assert report.frames_out == 2 * (N_FRAMES - 1) + 1
         meta = probe_video(out)
         assert (meta.height, meta.width) == hw
+
+
+class TestReviewRegressions:
+    """Round-3 review findings (pipeline/eval surface)."""
+
+    def test_dp_step_multi_resolution_shared_padded_size(self, params):
+        """108 and 112 both pad to 112: the DP step cache must key on
+        pad_hw, not the padded size, or the second resolution inherits
+        the first one's baked-in pad and forward rejects the shape."""
+        from rrin_tpu.pipeline import Interpolator
+
+        interp = Interpolator(
+            params, exp=1, compute_dtype="float32", data_parallel=0
+        )
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, 255, (8, 2, 108, 64, 3), dtype=np.uint8)
+        b = rng.integers(0, 255, (8, 2, 112, 64, 3), dtype=np.uint8)
+        ya = np.asarray(interp.step(a))
+        yb = np.asarray(interp.step(b))
+        assert ya.shape == (8, 1, 108, 64, 3)
+        assert yb.shape == (8, 1, 112, 64, 3)
+
+    def test_times_mode_requires_factor_before_files_exist(
+        self, video, params, tmp_path
+    ):
+        out = str(tmp_path / "times_nofactor.mp4")
+        with pytest.raises(ValueError, match="retime_fps or slowmo"):
+            interpolate_video(video, out, params, mode="times")
+        assert not os.path.exists(out)
+
+    def test_eval_calib_preset_ignored_without_int8(self, params, tmp_path):
+        """A persisted calibration preset must not leak into a float
+        eval (silently scoring the int8 path, or crashing when
+        packed=False)."""
+        from rrin_tpu.eval import evaluate, find_triplets, synthesize_triplets
+
+        root = str(tmp_path / "trips_preset")
+        synthesize_triplets(root, count=2, hw=(64, 96))
+        dirs = find_triplets(root)
+        base = evaluate(params, dirs, batch_size=2, compute_dtype="float32")
+        withp = evaluate(
+            params, dirs, batch_size=2, compute_dtype="float32",
+            quant_stats={"bogus": object()},  # must be ignored entirely
+        )
+        assert withp["psnr_mean"] == base["psnr_mean"]

@@ -174,3 +174,29 @@ class TestRemat:
         assert abs(outs[0][0] - outs[1][0]) < 1e-6
         for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestReviewRegressions:
+    """Round-3 review findings (training surface)."""
+
+    def test_laplacian_no_bands_degenerates_to_plain_l1(self):
+        """A crop too odd/small for any pyramid level must weight the
+        low-pass residual 2**0, not 2**levels (a 32x-scaled L1)."""
+        from rrin_tpu.train import l1, laplacian
+
+        rng = np.random.default_rng(3)
+        a = jnp.asarray(rng.random((1, 17, 17, 3)), jnp.float32)
+        b = jnp.asarray(rng.random((1, 17, 17, 3)), jnp.float32)
+        np.testing.assert_allclose(
+            float(laplacian(a, b)), float(l1(a, b)), rtol=1e-6
+        )
+
+    def test_cli_data_source_checked_before_model_build(self, monkeypatch):
+        import rrin_tpu.train as tr
+
+        def boom(*a, **k):
+            raise AssertionError("Trainer.create ran before validation")
+
+        monkeypatch.setattr(tr.Trainer, "create", staticmethod(boom))
+        with pytest.raises(SystemExit):
+            tr.main(["--steps", "1"])
