@@ -182,6 +182,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         retime_fps=args.retime,
         slowmo=args.slowmo,
     )
+    if (args.calib or args.save_calib) and not args.int8:
+        print("error: --calib/--save-calib only apply to --int8 runs",
+              file=sys.stderr)
+        return 2
     if args.calib:
         from rrin_tpu.params import load_calibration
 

@@ -289,3 +289,11 @@ class TestReviewRegressions:
             quant_stats={"bogus": object()},  # must be ignored entirely
         )
         assert withp["psnr_mean"] == base["psnr_mean"]
+
+    def test_cli_calib_requires_int8(self, video, tmp_path, capsys):
+        from rrin_tpu.cli import main as cm
+
+        rc = cm(["-i", video, "-o", str(tmp_path / "o.mp4"),
+                 "--calib", "c.npz"])
+        assert rc == 2
+        assert "only apply to --int8" in capsys.readouterr().err
