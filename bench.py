@@ -433,11 +433,17 @@ def main() -> int:
                    "measurement and the on-device kernel selfcheck")
     p.add_argument("--selfcheck-only", action="store_true",
                    help="run only the Mosaic-vs-XLA kernel parity gate")
-    p.add_argument("--watchdog", type=float,
-                   default=float(os.environ.get("BENCH_WATCHDOG_S", 3600)),
+    p.add_argument("--watchdog", type=float, default=None,
                    help="hard-exit with a JSON error line if the bench "
-                   "has not finished after this many seconds (0 = off)")
+                   "has not finished after this many seconds (0 = off; "
+                   "default: BENCH_WATCHDOG_S env or 3600, doubled for "
+                   "--size 4k whose one-time program loads over the "
+                   "~30 MB/s tunnel can dominate)")
     args = p.parse_args()
+    if args.watchdog is None:
+        args.watchdog = float(os.environ.get(
+            "BENCH_WATCHDOG_S", 7200 if args.size == "4k" else 3600
+        ))
 
     done = None
     if args.watchdog > 0:

@@ -141,6 +141,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("error: --retime and --slowmo are mutually exclusive",
               file=sys.stderr)
         return 2
+    if (args.calib or args.save_calib) and not args.int8:
+        # Fail before the checkpoint load (a torch .pth conversion can
+        # take minutes over the tunnel) — usage errors must be instant.
+        print("error: --calib/--save-calib only apply to --int8 runs",
+              file=sys.stderr)
+        return 2
 
     if args.status:
         import json
@@ -182,10 +188,6 @@ def main(argv: Optional[List[str]] = None) -> int:
         retime_fps=args.retime,
         slowmo=args.slowmo,
     )
-    if (args.calib or args.save_calib) and not args.int8:
-        print("error: --calib/--save-calib only apply to --int8 runs",
-              file=sys.stderr)
-        return 2
     if args.calib:
         from rrin_tpu.params import load_calibration
 

@@ -168,15 +168,14 @@ def _forward_jit(
         raise ValueError("packed=True is inference-only (no remat/VJP)")
     use_packed = packed and packed_supported(i0.shape[-3], i0.shape[-2], cfg)
     if use_packed and quant_stats is None:
-        from rrin_tpu.models.unet import _packed_m0
+        from rrin_tpu.models.unet import packed_bf16_supported
 
-        # Scoped-VMEM bound: the bf16 packed kernels' per-block windows
-        # scale with the group count; above m0 ~ 800 (4K-class widths,
-        # w > ~3200) several sites measured over the 16 MB scoped limit.
-        # int8 windows are half the bytes and fit — 4K single-chip serves
-        # via --int8 (or spatially sharded, SURVEY §2.3); bf16 falls back
-        # to the plain path here.
-        use_packed = _packed_m0(i0.shape[-2]) <= 800
+        # Scoped-VMEM bound (see unet.packed_bf16_supported): bf16 packed
+        # kernels exceed the 16 MB scoped limit at 4K-class widths; int8
+        # windows are half the bytes and fit — 4K single-chip serves via
+        # --int8 (or spatially sharded, SURVEY §2.3); bf16 falls back to
+        # the plain path here.
+        use_packed = packed_bf16_supported(i0.shape[-2])
     if quant_stats is not None and not use_packed:
         raise ValueError(
             "quant_stats (int8) requires the packed fast path — pass "
@@ -278,14 +277,19 @@ def forward_calibrate(
     cfg: ModelConfig = ModelConfig(),
     compute_dtype: jnp.dtype = jnp.float32,
     use_pallas: bool = False,
+    quantile=None,
 ) -> tuple:
     """:func:`forward` + int8 calibration stats (SURVEY.md has no analog —
     this is the TPU int8 lever, docs/PERFORMANCE.md lever 4).
 
     Runs the plain (unpacked) cascade recording every conv operand's |x|
-    max per U-Net. Returns ``(out, stats)``; fold stats over several
-    calibration pairs with :func:`merge_quant_stats`, then pass the result
-    as ``forward(..., quant_stats=...)``.
+    max per U-Net — or, with ``quantile`` (scalar in (0, 1]), the
+    q-quantile of |x|: percentile clipping for trained weights with
+    outlier activation channels that per-tensor absmax handles worst
+    (validate the clip rate with :func:`forward_saturation`). Returns
+    ``(out, stats)``; fold stats over several calibration pairs with
+    :func:`merge_quant_stats`, then pass the result as
+    ``forward(..., quant_stats=...)``.
     """
     from rrin_tpu.models.unet import unet_apply_stats
 
@@ -297,7 +301,7 @@ def forward_calibrate(
 
     def run_unet(name: str, *feats: jnp.ndarray) -> jnp.ndarray:
         x = jnp.concatenate([f.astype(cd) for f in feats], axis=-1)
-        out, st = unet_apply_stats(params[name], x, cfg)
+        out, st = unet_apply_stats(params[name], x, cfg, quantile=quantile)
         stats[name] = st
         return out.astype(f32)
 
@@ -306,6 +310,52 @@ def forward_calibrate(
         pairs=(cd == jnp.bfloat16),
     )
     return out, stats
+
+
+@partial(jax.jit, static_argnames=("cfg", "compute_dtype", "use_pallas"))
+def forward_saturation(
+    params: Params,
+    i0: jnp.ndarray,
+    i1: jnp.ndarray,
+    quant_stats,
+    t: Union[float, jnp.ndarray] = 0.5,
+    cfg: ModelConfig = ModelConfig(),
+    compute_dtype: jnp.dtype = jnp.float32,
+    use_pallas: bool = False,
+):
+    """int8 saturation telemetry: per-site fraction of activation values
+    the serving quantization grid CLIPS on this input.
+
+    Runs the plain cascade under the same traversal as
+    :func:`forward_calibrate` but records, for every quantization site,
+    ``mean(|x| > range)`` against ``quant_stats`` (pass the SERVING stats,
+    i.e. margin already applied, to measure what production clips).
+    Healthy absmax calibration reads ~0 everywhere; percentile-clipped
+    calibration trades a controlled nonzero rate for a finer grid. Rates
+    well above the chosen percentile's complement on live traffic mean
+    the calibration set no longer covers the input distribution.
+    """
+    from rrin_tpu.models.unet import unet_apply_stats
+
+    b = i0.shape[0]
+    tb = _as_t(t, b)
+    f32 = jnp.float32
+    cd = compute_dtype
+    rates: Dict[str, Dict[str, jnp.ndarray]] = {}
+
+    def run_unet(name: str, *feats: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.concatenate([f.astype(cd) for f in feats], axis=-1)
+        out, st = unet_apply_stats(
+            params[name], x, cfg, ranges=quant_stats[name]
+        )
+        rates[name] = st
+        return out.astype(f32)
+
+    _cascade(
+        run_unet, i0.astype(f32), i1.astype(f32), tb, cfg, use_pallas,
+        pairs=(cd == jnp.bfloat16),
+    )
+    return rates
 
 
 @partial(

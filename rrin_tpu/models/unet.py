@@ -161,19 +161,46 @@ QUANT_SITES = {
 
 
 def unet_apply_stats(
-    p: Params, x: jnp.ndarray, cfg: ModelConfig
+    p: Params, x: jnp.ndarray, cfg: ModelConfig,
+    quantile=None, ranges=None,
 ) -> tuple:
-    """unet_apply + per-tensor |x| maxima for int8 calibration.
+    """unet_apply + per-tensor |x| statistics for int8 calibration.
 
     Returns (out, stats): stats maps each conv-output name (plus "in") to
-    the f32 absmax of that tensor — the calibrated quantization ranges the
-    packed int8 path consumes (pool/upsample between sites are convex
-    combinations, so a producer's absmax bounds every consumer)."""
+    an f32 scalar per tensor. Three recording modes:
+
+    - default: |x| absmax — the calibrated quantization ranges the packed
+      int8 path consumes (pool/upsample between sites are convex
+      combinations, so a producer's absmax bounds every consumer);
+    - ``quantile`` (scalar in (0, 1]): the q-quantile of |x| instead of
+      the max — percentile clipping for trained weights whose outlier
+      activations would otherwise stretch the grid (the clipped tail
+      saturates; trade measured by the saturation mode below);
+    - ``ranges`` (a stats tree from a previous pass, margin applied):
+      record the SATURATION RATE instead — the fraction of |x| values
+      strictly above each range, i.e. how much of this input the int8
+      grid clips. Telemetry for validating a calibration against live
+      traffic. Mutually exclusive with ``quantile``.
+    """
+    if quantile is not None and ranges is not None:
+        raise ValueError("quantile and ranges are mutually exclusive")
     s = cfg.leaky_slope
     stats = {}
 
     def rec(name, t):
-        stats[name] = jnp.max(jnp.abs(t)).astype(jnp.float32)
+        a = jnp.abs(t)
+        if ranges is not None:
+            stats[name] = jnp.mean(
+                (a > jnp.asarray(ranges[name], jnp.float32)).astype(
+                    jnp.float32
+                )
+            )
+        elif quantile is not None:
+            stats[name] = jnp.quantile(
+                a.astype(jnp.float32).ravel(), quantile
+            ).astype(jnp.float32)
+        else:
+            stats[name] = jnp.max(a).astype(jnp.float32)
         return t
 
     rec("in", x)
@@ -261,6 +288,21 @@ def _packed_m0(w: int) -> int:
     # Storage must cover offset 3 + W at level 0 (P=4); the level-2
     # tensors reuse the same M as their (padded) width.
     return -(-(w + 6) // 4 // 8) * 8
+
+
+# Scoped-VMEM bound for the BF16 packed kernels: their per-block windows
+# scale with the group count m0, and above m0 ~ 800 (4K-class widths,
+# w > ~3200) several sites measured over the 16 MB scoped limit. int8
+# windows are half the bytes and fit at 4K. One predicate shared by
+# models/rrin.forward and pipeline.Interpolator so the prep decision and
+# the forward gate can never disagree.
+_BF16_PACKED_M0_MAX = 800
+
+
+def packed_bf16_supported(w: int) -> bool:
+    """Whether the BF16 (non-int8) packed kernels fit scoped VMEM at
+    this width (int8 is not bound by this — see _BF16_PACKED_M0_MAX)."""
+    return _packed_m0(w) <= _BF16_PACKED_M0_MAX
 
 
 def packed_branch_flags(h: int, w: int, cfg: ModelConfig):

@@ -163,13 +163,15 @@ def _calibrate_body(
     compute_dtype: Any = jnp.bfloat16,
     use_pallas: bool = False,
     pad_hw: Any = None,
+    quantile: Any = None,
 ) -> Dict[str, Any]:
     """int8 calibration pass: (B, 2, H, W, 3) uint8 -> activation stats.
 
     Same preprocessing as :func:`device_step`, then the plain cascade at
     t=0.5 (where the flow-projection magnitudes peak) recording per-UNet
-    activation |x| maxima. XLA dead-code-eliminates everything the stats
-    don't need."""
+    activation |x| maxima (or the ``quantile``-quantile of |x| for
+    percentile-clipped calibration). XLA dead-code-eliminates everything
+    the stats don't need."""
     b, _, h, w, _ = pairs_u8.shape
     ph, pw = pad_hw if pad_hw is not None else (
         padded_size(h, cfg.pad_multiple) - h,
@@ -181,6 +183,7 @@ def _calibrate_body(
     _, stats = forward_calibrate(
         params, x[:, 0], x[:, 1], 0.5, cfg=cfg,
         compute_dtype=compute_dtype, use_pallas=use_pallas,
+        quantile=quantile,
     )
     return stats
 
@@ -380,8 +383,16 @@ class Interpolator:
     @property
     def _dp_fast(self) -> bool:
         """True when the sharded step is shard_map of the full single-
-        device fast path (pure batch DP — no spatial axis in use)."""
-        return self.mesh is not None and self.spatial == 1
+        device fast path (pure batch DP — no spatial axis in use). Derived
+        from the MESH, not the ``spatial`` arg, so a prebuilt mesh with a
+        >1 spatial axis routes to the jit-SPMD path even if the caller
+        left spatial=1."""
+        if self.mesh is None:
+            return False
+        from rrin_tpu.parallel.sharding import SPATIAL_AXIS
+
+        n_sp = dict(self.mesh.shape).get(SPATIAL_AXIS, 1)
+        return self.spatial == 1 and int(n_sp) == 1
 
     def _make_dp_step(self, pad_hw):
         """jit(shard_map(single-device step)) over the data axis: params,
@@ -521,10 +532,18 @@ class Interpolator:
         if (use_pp and (self.mesh is None or self._dp_fast)
                 and hw_key not in self._packed_params):
             from rrin_tpu.models.rrin import prepare_packed_params
-            from rrin_tpu.models.unet import packed_supported
+            from rrin_tpu.models.unet import (
+                packed_bf16_supported,
+                packed_supported,
+            )
 
             prep = None
-            if packed_supported(hw_key[0], hw_key[1], self.cfg):
+            # Mirror forward()'s routing exactly: a bf16 run above the
+            # scoped-VMEM width bound falls back to the plain path, so
+            # building (and caching) a prep it would discard is waste.
+            if packed_supported(hw_key[0], hw_key[1], self.cfg) and (
+                quant_stats is not None or packed_bf16_supported(hw_key[1])
+            ):
                 prep = prepare_packed_params(
                     self.params, self.cfg, self.compute_dtype,
                     quant_stats=quant_stats, hw=hw_key,
@@ -561,11 +580,13 @@ class Interpolator:
 
             # Spatial (+DP) jit-SPMD path: XLA compute only — pallas_call
             # cannot partition across the sharded H, so the kernels and
-            # the packed layout stay off here (4K-class frames; the halo
-            # exchanges ride ICI). pairs_u8 is (B, 2, H, W, 3): H is dim 2.
+            # the packed layout are FORCED off below (4K-class frames; the
+            # halo exchanges ride ICI). pairs_u8 is (B, 2, H, W, 3): H is
+            # dim 2.
             batch = shard_pairs(self.mesh, pairs_u8, spatial_dim=2)
         else:
             batch = jnp.asarray(pairs_u8)
+        spatial_run = self.mesh is not None
         return device_step(
             self.params,
             batch,
@@ -573,9 +594,9 @@ class Interpolator:
             mode=self.mode,
             cfg=self.cfg,
             compute_dtype=self.compute_dtype,
-            use_pallas=self.use_pallas,
+            use_pallas=False if spatial_run else self.use_pallas,
             pad_hw=pad_hw,
-            packed=self.packed,
+            packed=False if spatial_run else self.packed,
             quant_stats=quant_stats,
             packed_params=prep,
             ts=None if ts is None else jnp.asarray(ts, jnp.float32),

@@ -122,6 +122,21 @@ def interpolate_video_resumable(
         manifest["finished"] = False
         _atomic_write(mpath, manifest)
 
+    # int8 calibration consistency across segments AND resumes: without a
+    # preset, the FIRST computed segment calibrates and persists its
+    # ranges to a job-local sidecar; every later segment (and any resumed
+    # process) loads them back, so the whole job quantizes under ONE int8
+    # grid — identical to a single-pass run (which calibrates once on its
+    # first batch).
+    calib_sidecar: Optional[str] = None
+    seg_stats = quant_stats
+    if int8 and quant_stats is None:
+        calib_sidecar = output_path + ".calib.npz"
+        if resume and os.path.exists(calib_sidecar):
+            from rrin_tpu.params import load_calibration
+
+            seg_stats = load_calibration(calib_sidecar)
+
     if not manifest.get("finished"):
         for seg in manifest["segments"]:
             if seg["done"]:
@@ -150,21 +165,41 @@ def interpolate_video_resumable(
                 spatial=spatial,
                 int8=int8,
                 int8_margin=int8_margin,
-                quant_stats=quant_stats,
+                quant_stats=seg_stats,
                 retime_fps=retime_fps,
                 slowmo=slowmo,
-                # Only the first still-running segment writes the calib
-                # file; later segments (and resumes) load it back via
-                # quant_stats at the CLI layer or recalibrate identically.
-                save_calib=save_calib,
+                save_calib=(
+                    calib_sidecar
+                    if calib_sidecar and seg_stats is None
+                    else None
+                ),
             )
+            if calib_sidecar and seg_stats is None:
+                from rrin_tpu.params import load_calibration
+
+                seg_stats = load_calibration(calib_sidecar)
             seg["done"] = True
             seg["frames"] = report.frames_out
             seg["interp_fps"] = report.interp_fps
             seg["completed_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
             _atomic_write(mpath, manifest)
 
+        if save_calib and int8 and seg_stats is not None:
+            # The user-facing calib file holds the job's single grid.
+            import jax
+            import numpy as np
+
+            from rrin_tpu.params import save_calibration
+
+            save_calibration(
+                save_calib, jax.tree.map(np.asarray, seg_stats)
+            )
         _finalize(output_path, manifest, keep_segments=keep_segments)
+        if calib_sidecar and not keep_segments:
+            try:
+                os.remove(calib_sidecar)
+            except OSError:
+                pass
         manifest["finished"] = True
         _atomic_write(mpath, manifest)
     return manifest

@@ -353,10 +353,10 @@ def main(argv=None) -> int:
                 step += 1
 
         batches = _synthetic_gen()
-    elif args.data:
-        batches = triplet_batches(args.data, args.batch, tuple(args.crop))
     else:
-        p.error("one of --data or --synthetic is required")
+        # args.data is set: (synthetic or data) was validated up front,
+        # before the model/optimizer build.
+        batches = triplet_batches(args.data, args.batch, tuple(args.crop))
     t0 = time.perf_counter()
     for step in range(args.steps):
         i0, gt, i1 = next(batches)

@@ -111,17 +111,18 @@ class TestPipelineInt8:
         interp = Interpolator(params, CFG, compute_dtype="float32",
                               int8=True)
         out = np.asarray(interp.step(pairs))
-        assert interp._quant_stats is not None  # calibrated on first batch
+        # calibrated on first batch, keyed by padded resolution
+        assert (48, 64) in interp._quant_stats
         want = np.asarray(device_step(
             params, jnp.asarray(pairs), cfg=CFG,
             compute_dtype=jnp.float32, pad_hw=(0, 0),
         ))
         assert out.shape == want.shape and out.dtype == np.uint8
         assert _psnr(out / 255.0, want / 255.0) > 35.0
-        # second step reuses the stats (no recalibration)
-        stats = interp._quant_stats
+        # second step reuses the per-resolution stats (no recalibration)
+        stats = interp._quant_stats[(48, 64)]
         interp.step(pairs)
-        assert interp._quant_stats is stats
+        assert interp._quant_stats[(48, 64)] is stats
 
     def test_int8_rejects_spatial_sharding(self):
         # int8 + batch DP composes (shard_map of the single-device fast

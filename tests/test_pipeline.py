@@ -231,6 +231,54 @@ class TestShardedPipeline:
         out = interp.step(pairs)
         assert out.shape == (4, 1, 32, 64, 3)
 
+    def test_spatial_forces_plain_compute_path(self, params, monkeypatch):
+        """jit-SPMD spatial runs cannot carry pallas_call / the packed
+        layout across a sharded H: step() must force both off even when
+        the Interpolator was built with use_pallas=True. On TPU a
+        sharded-H pallas_call fails to lower — CPU meshes silently take
+        the XLA branch of platform_dependent, so assert at the call
+        site (round-3 review finding)."""
+        import rrin_tpu.pipeline as pl
+
+        seen = {}
+        real = pl.device_step
+
+        def spy(*a, **kw):
+            seen.update(kw)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(pl, "device_step", spy)
+        interp = pl.Interpolator(params, compute_dtype="float32",
+                                 use_pallas=True, data_parallel=2,
+                                 spatial=2)
+        pairs = np.zeros((2, 2, 32, 64, 3), np.uint8)
+        out = interp.step(pairs)
+        assert seen["use_pallas"] is False
+        assert seen["packed"] is False
+        assert out.shape == (2, 1, 32, 64, 3)
+
+    def test_wide_bf16_skips_packed_prep(self, params):
+        """4K-class widths exceed the bf16 packed kernels' scoped-VMEM
+        bound (models/unet.packed_bf16_supported): forward falls back
+        to the plain path, so the Interpolator must not build (and
+        cache) a PackedParams tree it would discard."""
+        from rrin_tpu.config import ModelConfig
+        from rrin_tpu.models.unet import (
+            packed_bf16_supported,
+            packed_supported,
+        )
+        from rrin_tpu.pipeline import Interpolator
+
+        cfg = ModelConfig()
+        assert packed_supported(48, 3840, cfg)  # packed would apply...
+        assert not packed_bf16_supported(3840)  # ...but bf16 can't fit
+        interp = Interpolator(params, compute_dtype="float32",
+                              use_pallas=True)
+        pairs = np.zeros((1, 2, 48, 3840, 3), np.uint8)
+        out = interp.step(pairs)
+        assert interp._packed_params[(48, 3840)] is None
+        assert out.shape == (1, 1, 48, 3840, 3)
+
 
 class TestOddResolutions:
     @pytest.mark.parametrize("hw", [(222, 398), (50, 70)])
@@ -293,7 +341,11 @@ class TestReviewRegressions:
     def test_cli_calib_requires_int8(self, video, tmp_path, capsys):
         from rrin_tpu.cli import main as cm
 
+        # Nonexistent --ckpt proves the usage error fires BEFORE the
+        # checkpoint load (which can take minutes for a torch .pth over
+        # the tunnel) — a late check would raise from _load_params.
         rc = cm(["-i", video, "-o", str(tmp_path / "o.mp4"),
+                 "--ckpt", str(tmp_path / "missing.pth"),
                  "--calib", "c.npz"])
         assert rc == 2
         assert "only apply to --int8" in capsys.readouterr().err

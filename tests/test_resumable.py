@@ -118,6 +118,41 @@ class TestResumable:
         leftovers = [p for p in os.listdir(tmp_path) if ".seg" in p]
         assert leftovers == []
 
+    def test_int8_segments_share_one_calibration(
+        self, video, params, tmp_path, monkeypatch
+    ):
+        """All segments must quantize under ONE int8 grid: the first
+        computed segment calibrates (persisting to a job-local sidecar),
+        later segments reuse those ranges instead of recalibrating on
+        their own first batch, and --save-calib receives that single
+        grid (round-3 review finding: every segment used to overwrite
+        the calib file with its own fresh calibration)."""
+        import rrin_tpu.resumable as rs
+
+        calls = []
+        real = rs.interpolate_video
+
+        def spy(*a, **kw):
+            calls.append({"quant_stats": kw.get("quant_stats"),
+                          "save_calib": kw.get("save_calib")})
+            return real(*a, **kw)
+
+        monkeypatch.setattr(rs, "interpolate_video", spy)
+        calib = str(tmp_path / "job_calib.npz")
+        out = str(tmp_path / "seg_int8.mp4")
+        manifest = interpolate_video_resumable(
+            video, out, params, compute_dtype="float32",
+            segment_pairs=4, int8=True, save_calib=calib,
+        )
+        assert manifest["finished"] and len(calls) == 3
+        assert calls[0]["quant_stats"] is None
+        assert calls[0]["save_calib"] == out + ".calib.npz"
+        for c in calls[1:]:
+            assert c["quant_stats"] is not None
+            assert c["save_calib"] is None
+        assert os.path.exists(calib)  # user-facing calib: the job's grid
+        assert not os.path.exists(out + ".calib.npz")  # sidecar removed
+
 
 class TestImagePairTool:
     def test_end_to_end_with_gt(self, tmp_path, capsys, rng):
