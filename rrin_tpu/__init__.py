@@ -31,6 +31,7 @@ from rrin_tpu.models.rrin import (
     RRIN,
     forward,
     forward_calibrate,
+    forward_saturation,
     init_params,
     merge_quant_stats,
     prepare_packed_params,
@@ -45,6 +46,7 @@ __all__ = [
     "init_params",
     "forward",
     "forward_calibrate",
+    "forward_saturation",
     "merge_quant_stats",
     "scale_quant_stats",
     "prepare_packed_params",

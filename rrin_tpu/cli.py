@@ -62,6 +62,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="safety factor on the calibrated int8 activation "
                    "ranges (guards later frames exceeding the first "
                    "batch's ranges)")
+    p.add_argument("--int8-percentile", type=float, default=None,
+                   metavar="P",
+                   help="with --int8: calibrate each activation range at "
+                   "the P-th |x| percentile instead of the max (e.g. 99.9) "
+                   "— percentile clipping for trained weights with outlier "
+                   "activations; pair with --int8-saturation to see the "
+                   "resulting clip rates")
+    p.add_argument("--int8-saturation", action="store_true",
+                   help="with --int8: add per-site clip-rate telemetry "
+                   "(fraction of |activation| above the serving ranges, "
+                   "measured on the first batch) to the JSON report")
     p.add_argument("--calib", default=None, metavar="NPZ",
                    help="with --int8: load persisted calibration ranges "
                    "(from --save-calib) instead of calibrating on the "
@@ -147,6 +158,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("error: --calib/--save-calib only apply to --int8 runs",
               file=sys.stderr)
         return 2
+    if (args.int8_percentile is not None
+            or args.int8_saturation) and not args.int8:
+        print("error: --int8-percentile/--int8-saturation only apply to "
+              "--int8 runs", file=sys.stderr)
+        return 2
+    if args.int8_percentile is not None and args.calib:
+        print("error: --int8-percentile shapes calibration; it cannot "
+              "apply to preset --calib ranges", file=sys.stderr)
+        return 2
+    if args.int8_saturation and args.segment_pairs > 0:
+        print("error: --int8-saturation reports through the single-pass "
+              "JSON report; drop --segment-pairs", file=sys.stderr)
+        return 2
 
     if args.status:
         import json
@@ -185,6 +209,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         spatial=args.spatial,
         int8=args.int8,
         int8_margin=args.int8_margin,
+        int8_percentile=args.int8_percentile,
         retime_fps=args.retime,
         slowmo=args.slowmo,
     )
@@ -209,7 +234,10 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             out_json = json.dumps(manifest, indent=2)
         else:
-            report = interpolate_video(args.input, args.output, params, **common)
+            report = interpolate_video(
+                args.input, args.output, params,
+                int8_saturation=args.int8_saturation, **common,
+            )
             out_json = report.to_json()
     if args.report:
         with open(args.report, "w") as f:

@@ -107,6 +107,7 @@ def evaluate(
     cfg=None,
     int8: bool = False,
     int8_margin: float = 1.2,
+    int8_percentile: Optional[float] = None,
     quant_stats: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Any]:
     """PSNR/SSIM of predicted middle frames over a triplet set.
@@ -116,8 +117,11 @@ def evaluate(
     OF EACH RESOLUTION GROUP (mixed-resolution sets never reuse ranges
     calibrated at a different shape) and scores the carried-int8 packed
     path — the eval-side quality gate for the ``--int8`` inference mode.
-    ``quant_stats`` (persisted calibration, params.load_calibration) skips
-    the calibration passes. Returns a structured report dict.
+    ``int8_percentile`` calibrates at the P-th |x| percentile instead of
+    the max (pipeline ``--int8-percentile``) so its quality impact is
+    scorable here before production adopts it. ``quant_stats`` (persisted
+    calibration, params.load_calibration) skips the calibration passes.
+    Returns a structured report dict.
     """
     import jax.numpy as jnp
 
@@ -175,6 +179,10 @@ def evaluate(
                     _, st = forward_calibrate(
                         params, i0p, i1p, 0.5, cfg=cfg, compute_dtype=cd,
                         use_pallas=use_pallas,
+                        quantile=(
+                            None if int8_percentile is None
+                            else int8_percentile / 100.0
+                        ),
                     )
                     quant_stats = scale_quant_stats(st, int8_margin)
             pred = forward(
@@ -216,6 +224,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                    help="with --int8: persisted calibration ranges "
                    "(params.save_calibration) instead of per-group "
                    "calibration")
+    p.add_argument("--int8-percentile", type=float, default=None,
+                   metavar="P",
+                   help="with --int8: percentile-clipped calibration "
+                   "(pipeline --int8-percentile) — score its quality "
+                   "impact before adopting it in production")
     p.add_argument("--synthesize", type=int, default=0, metavar="N",
                    help="generate N synthetic triplets into --data and exit")
     p.add_argument("--report", default=None, help="write JSON report here")
@@ -254,6 +267,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         compute_dtype="float32" if args.fp32 else "bfloat16",
         use_pallas=not args.no_pallas,
         int8=args.int8,
+        int8_percentile=args.int8_percentile,
         quant_stats=preset,
     )
     summary = {k: v for k, v in report.items() if k != "per_triplet"}

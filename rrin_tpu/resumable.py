@@ -61,6 +61,7 @@ def interpolate_video_resumable(
     spatial: int = 1,
     int8: bool = False,
     int8_margin: float = 1.2,
+    int8_percentile: Optional[float] = None,
     quant_stats: Optional[Dict[str, Any]] = None,
     save_calib: Optional[str] = None,
     retime_fps: Optional[float] = None,
@@ -165,6 +166,11 @@ def interpolate_video_resumable(
                 spatial=spatial,
                 int8=int8,
                 int8_margin=int8_margin,
+                # Only the calibrating (first) segment needs the
+                # percentile; later segments serve the sidecar grid.
+                int8_percentile=(
+                    int8_percentile if seg_stats is None else None
+                ),
                 quant_stats=seg_stats,
                 retime_fps=retime_fps,
                 slowmo=slowmo,

@@ -158,6 +158,12 @@ class TestInt8Tools:
         assert rep["count"] == 2
         # random weights produce a blend; int8 must stay within ~1 dB of it
         assert abs(rep["psnr_mean"] - ref["psnr_mean"]) < 1.0
+        # percentile-clipped calibration is scorable through the same
+        # harness (quality impact measured BEFORE production adopts it)
+        rep_p = evaluate(params, dirs, batch_size=2,
+                         compute_dtype="float32", int8=True,
+                         int8_percentile=99.0)
+        assert abs(rep_p["psnr_mean"] - ref["psnr_mean"]) < 2.0
 
     def test_interp_image_int8(self, rng, tmp_path):
         import cv2
@@ -186,6 +192,109 @@ class TestInt8Tools:
                                   compute_dtype="float32", int8=True)
             out = np.asarray(interp.step(pairs))
             assert out.shape == (1, 3, 48, 64, 3) and out.dtype == np.uint8
+
+
+class TestPercentileCalibration:
+    """Percentile-clipped calibration + saturation telemetry (VERDICT r2
+    weak #2: per-tensor absmax is fragile for trained weights with
+    outlier activation channels; percentile clipping trades a bounded,
+    MEASURABLE clip rate for a finer grid)."""
+
+    def test_quantile_stats_bound_by_absmax(self, rng):
+        params = init_params(jax.random.key(0), CFG)
+        i0 = jnp.asarray(rng.random((1, 48, 64, 3), dtype=np.float32))
+        i1 = jnp.asarray(rng.random((1, 48, 64, 3), dtype=np.float32))
+        _, st_max = forward_calibrate(params, i0, i1, 0.5, cfg=CFG)
+        _, st_q = forward_calibrate(params, i0, i1, 0.5, cfg=CFG,
+                                    quantile=0.99)
+        q = np.array([float(x) for x in jax.tree.leaves(st_q)])
+        m = np.array([float(x) for x in jax.tree.leaves(st_max)])
+        assert np.all(q <= m + 1e-6)
+        assert np.any(q < m * 0.999)  # a 1% tail clip is a real clip
+        # q=1.0 IS the max
+        _, st_1 = forward_calibrate(params, i0, i1, 0.5, cfg=CFG,
+                                    quantile=1.0)
+        np.testing.assert_allclose(
+            np.array([float(x) for x in jax.tree.leaves(st_1)]), m,
+            rtol=1e-6,
+        )
+
+    def test_forward_quality_with_percentile_stats(self, rng):
+        params = init_params(jax.random.key(0), CFG)
+        i0 = jnp.asarray(rng.random((1, 96, 64, 3), dtype=np.float32))
+        i1 = jnp.asarray(rng.random((1, 96, 64, 3), dtype=np.float32))
+        want = np.asarray(forward(params, i0, i1, 0.5, cfg=CFG))
+        _, stats = forward_calibrate(params, i0, i1, 0.5, cfg=CFG,
+                                     quantile=0.995)
+        got = np.asarray(forward(
+            params, i0, i1, 0.5, cfg=CFG, packed=True,
+            quant_stats=scale_quant_stats(stats, 1.2),
+        ))
+        assert _psnr(got, want) > 28.0, _psnr(got, want)
+
+    def test_saturation_rates_absmax_vs_clipped(self, rng):
+        from rrin_tpu.models.rrin import forward_saturation
+
+        params = init_params(jax.random.key(0), CFG)
+        i0 = jnp.asarray(rng.random((1, 48, 64, 3), dtype=np.float32))
+        i1 = jnp.asarray(rng.random((1, 48, 64, 3), dtype=np.float32))
+        _, st = forward_calibrate(params, i0, i1, 0.5, cfg=CFG)
+        # absmax ranges on the SAME input: nothing exceeds them
+        sat = forward_saturation(params, i0, i1, st, 0.5, cfg=CFG)
+        assert max(float(x) for x in jax.tree.leaves(sat)) == 0.0
+        # halved ranges: measurable clipping, valid rates
+        sat2 = forward_saturation(
+            params, i0, i1, jax.tree.map(lambda s: s * 0.5, st), 0.5,
+            cfg=CFG,
+        )
+        vals = [float(x) for x in jax.tree.leaves(sat2)]
+        assert max(vals) > 0.0
+        assert all(0.0 <= v <= 1.0 for v in vals)
+
+    def test_interpolator_percentile_end_to_end(self, rng):
+        from rrin_tpu.pipeline import Interpolator, device_step
+
+        params = init_params(jax.random.key(0), CFG)
+        pairs = rng.integers(0, 256, (2, 2, 48, 64, 3), dtype=np.uint8)
+        ia = Interpolator(params, CFG, compute_dtype="float32", int8=True)
+        ip = Interpolator(params, CFG, compute_dtype="float32", int8=True,
+                          int8_percentile=99.0)
+        out = np.asarray(ip.step(pairs))
+        ia.step(pairs)
+        qa = np.array([float(x) for x in
+                       jax.tree.leaves(ia._quant_stats[(48, 64)])])
+        qp = np.array([float(x) for x in
+                       jax.tree.leaves(ip._quant_stats[(48, 64)])])
+        assert np.all(qp <= qa + 1e-6) and np.any(qp < qa * 0.999)
+        want = np.asarray(device_step(
+            params, jnp.asarray(pairs), cfg=CFG,
+            compute_dtype=jnp.float32, pad_hw=(0, 0),
+        ))
+        assert _psnr(out / 255.0, want / 255.0) > 28.0
+        # telemetry: absmax+margin clips nothing on its own calibration
+        # batch; the percentile grid shows a real but bounded rate
+        sa = ia.saturation_rates(pairs)
+        sp = ip.saturation_rates(pairs)
+        assert set(sa) == set(sp) and "flow/c1" in sa
+        assert max(sa.values()) == 0.0
+        assert 0.0 < max(sp.values()) <= 0.05  # ~1% tail, margin-shrunk
+
+    def test_percentile_validation(self, rng):
+        from rrin_tpu.pipeline import Interpolator
+
+        params = init_params(jax.random.key(0), CFG)
+        with pytest.raises(ValueError, match="requires int8"):
+            Interpolator(params, CFG, int8_percentile=99.9)
+        with pytest.raises(ValueError, match="preset"):
+            Interpolator(params, CFG, int8=True, int8_percentile=99.9,
+                         quant_stats={"flow": {}})
+        for bad in (0.0, 50.0, 100.1, -1.0):
+            with pytest.raises(ValueError, match="50, 100"):
+                Interpolator(params, CFG, int8=True, int8_percentile=bad)
+        with pytest.raises(ValueError, match="int8"):
+            Interpolator(params, CFG).saturation_rates(
+                np.zeros((1, 2, 48, 64, 3), np.uint8)
+            )
 
 
 class TestPreparedParams:

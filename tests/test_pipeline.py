@@ -294,6 +294,43 @@ class TestOddResolutions:
         assert (meta.height, meta.width) == hw
 
 
+class TestSaturationReport:
+    def test_int8_saturation_in_report(self, video, params, tmp_path):
+        """interpolate_video(int8_saturation=True) measures first-batch
+        clip rates under the serving grid; absmax calibration + margin
+        clips NOTHING on its own calibration batch by construction."""
+        out = str(tmp_path / "sat.mp4")
+        report = interpolate_video(
+            video, out, params, compute_dtype="float32", int8=True,
+            int8_saturation=True,
+        )
+        sat = report.int8_saturation
+        assert sat and "flow/c1" in sat
+        assert all(0.0 <= v <= 1.0 for v in sat.values())
+        assert max(sat.values()) == 0.0
+        # the field is JSON-serializable through the report
+        assert '"int8_saturation"' in report.to_json()
+
+    def test_cli_new_int8_flag_validation(self, video, tmp_path, capsys):
+        from rrin_tpu.cli import main as cm
+
+        out = str(tmp_path / "o.mp4")
+        rc = cm(["-i", video, "-o", out, "--int8-percentile", "99.9"])
+        assert rc == 2
+        assert "--int8" in capsys.readouterr().err
+        rc = cm(["-i", video, "-o", out, "--int8-saturation"])
+        assert rc == 2
+        assert "--int8" in capsys.readouterr().err
+        rc = cm(["-i", video, "-o", out, "--int8",
+                 "--int8-percentile", "99.9", "--calib", "c.npz"])
+        assert rc == 2
+        assert "preset" in capsys.readouterr().err
+        rc = cm(["-i", video, "-o", out, "--int8", "--int8-saturation",
+                 "--segment-pairs", "4"])
+        assert rc == 2
+        assert "segment" in capsys.readouterr().err
+
+
 class TestReviewRegressions:
     """Round-3 review findings (pipeline/eval surface)."""
 
