@@ -292,11 +292,18 @@ def _packed_m0(w: int) -> int:
 
 # Scoped-VMEM bound for the BF16 packed kernels: their per-block windows
 # scale with the group count m0, and above m0 ~ 800 (4K-class widths,
-# w > ~3200) several sites measured over the 16 MB scoped limit. int8
-# windows are half the bytes and fit at 4K. One predicate shared by
+# w > ~3200) several sites measured over Mosaic's DEFAULT ~16 MB budget.
+# int8 windows are half the bytes and fit at 4K. One predicate shared by
 # models/rrin.forward and pipeline.Interpolator so the prep decision and
 # the forward gate can never disagree.
-_BF16_PACKED_M0_MAX = 800
+#
+# The packed kernels now request a 100 MB budget
+# (ops/conv_packed._VMEM_LIMIT_BYTES), which should admit 4K bf16 —
+# RRIN_BF16_M0_MAX=1000 enables it for the queued TPU A/B; the default
+# stays 800 until that run validates compile + throughput (raising a
+# budget check is free, but the 4K-sized windows' DMA pipelining is
+# unmeasured).
+_BF16_PACKED_M0_MAX = int(os.environ.get("RRIN_BF16_M0_MAX", 800))
 
 
 def packed_bf16_supported(w: int) -> bool:

@@ -39,6 +39,7 @@ custom_vjp delegates to the XLA conv.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -58,6 +59,21 @@ WIN_ROWS = RB + 16  # 8-multiple: the clamped 8-aligned DMA start stays
 
 # Tests set this to exercise the kernel in interpret mode on CPU.
 _FORCE_KERNEL = False
+
+# Mosaic's default per-kernel scoped-VMEM budget (~16 MB) rejects the
+# window scratch at 4K-class group counts (the windows scale with m0),
+# even though v5e has 128 MB of physical VMEM. Every packed kernel
+# requests a larger budget: vmem_limit_bytes is a compile-time budget
+# CHECK, not a scheduling hint — kernels already under the default
+# compile identically. 100 MB leaves headroom over the largest 4K bf16
+# window set while staying under the physical limit.
+_VMEM_LIMIT_BYTES = int(
+    os.environ.get("RRIN_KERNEL_VMEM_LIMIT", 100 * 2**20)
+)
+
+
+def _compiler_params() -> pltpu.CompilerParams:
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -453,6 +469,7 @@ def _conv_packed_impl(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((n_in,))],
+        compiler_params=_compiler_params(),
     )(*operands)
 
 
@@ -771,6 +788,7 @@ def _conv_up_packed_impl(
             pltpu.VMEM((mw, lin_up), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=_compiler_params(),
     )(*operands)
 
 
@@ -1056,6 +1074,7 @@ def _conv_pool_packed_impl(
             pltpu.VMEM((RB + 2 * hh, mw, p_out * (lin_src // p_in)), win_dt),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=_compiler_params(),
     )(*operands)
 
 
@@ -1782,6 +1801,7 @@ def _conv_up_m_impl(
             pltpu.VMEM((2 * m_src, lin), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=_compiler_params(),
     )(*operands)
 
 
@@ -2304,6 +2324,7 @@ def _conv_up_f_impl(
             pltpu.VMEM((RB + 2 * hh, mw, lin), win_dt),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=_compiler_params(),
     )(*operands)
 
 

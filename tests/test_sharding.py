@@ -128,6 +128,27 @@ class TestShardMapDP:
             want, got,
         )
 
+    @pytest.mark.slow
+    def test_dp_percentile_calibration(self, params, rng):
+        """jnp.quantile composes with shard_map (pmax of per-shard
+        quantiles = safe upper approximation): ranges must be bounded by
+        the DP absmax ranges and the int8 DP step must still run."""
+        from rrin_tpu.pipeline import Interpolator
+
+        pairs = self._pairs(rng, 4, 48, 64)
+        mp = Interpolator(params, CFG, use_pallas=True, int8=True,
+                          int8_percentile=99.0, data_parallel=4)
+        ma = Interpolator(params, CFG, use_pallas=True, int8=True,
+                          data_parallel=4)
+        out = np.asarray(mp.step(pairs))
+        ma.step(pairs)
+        assert out.shape == (4, 1, 48, 64, 3)
+        qp = np.array([float(x) for x in
+                       jax.tree.leaves(mp._quant_stats[(48, 64)])])
+        qa = np.array([float(x) for x in
+                       jax.tree.leaves(ma._quant_stats[(48, 64)])])
+        assert np.all(qp <= qa * 1.01) and np.any(qp < qa * 0.999)
+
     def test_dp_output_stays_batch_sharded(self, params, rng):
         from rrin_tpu.pipeline import Interpolator
 
