@@ -79,6 +79,12 @@ def evaluate_all(params, data_root: str, batch: int):
         params, dirs, batch_size=batch, compute_dtype="bfloat16",
         use_pallas=True, int8=True,
     )
+    # Percentile-clipped calibration (pipeline --int8-percentile): the
+    # quality evidence for the outlier-clipping mode on trained weights.
+    out["int8_pctl99.9_packed"] = evaluate(
+        params, dirs, batch_size=batch, compute_dtype="bfloat16",
+        use_pallas=True, int8=True, int8_percentile=99.9,
+    )
     for k in out:
         out[k].pop("per_triplet", None)
     return out

@@ -83,3 +83,39 @@ class TestTrainedArtifact:
         p_ref = _psnr(ref, gt)
         p_q = _psnr(q, gt)
         assert p_q > p_ref - 1.0, (p_ref, p_q)
+
+    def test_int8_percentile_with_trained_weights(self, trained_params):
+        """Percentile-clipped calibration against REAL activation
+        statistics: quality holds within the same 1 dB envelope and the
+        saturation telemetry confirms the clip stays tiny (the feature's
+        whole premise: outlier tails are safe to trade for grid
+        resolution)."""
+        import jax.numpy as jnp
+
+        from rrin_tpu.data import synthetic_triplet_batch
+        from rrin_tpu.models.rrin import (
+            forward,
+            forward_calibrate,
+            forward_saturation,
+            scale_quant_stats,
+        )
+
+        i0, gt, i1 = synthetic_triplet_batch(
+            jax.random.key(7_777), 1, (96, 128)
+        )
+        ref = forward(trained_params, i0, i1, 0.5)
+        _, st = forward_calibrate(trained_params, i0, i1, 0.5,
+                                  compute_dtype=jnp.bfloat16,
+                                  quantile=0.999)
+        serving = scale_quant_stats(st, 1.2)
+        q = forward(trained_params, i0, i1, 0.5,
+                    compute_dtype=jnp.bfloat16, packed=True,
+                    quant_stats=serving)
+        p_ref = _psnr(ref, gt)
+        p_q = _psnr(q, gt)
+        assert p_q > p_ref - 1.0, (p_ref, p_q)
+        sat = forward_saturation(trained_params, i0, i1, serving, 0.5,
+                                 compute_dtype=jnp.bfloat16)
+        rates = [float(x) for x in jax.tree.leaves(sat)]
+        assert all(0.0 <= r <= 1.0 for r in rates)
+        assert max(rates) < 0.02, max(rates)  # 0.1% tail, margin-shrunk
