@@ -21,6 +21,7 @@ recursive cascade to reuse a single executable, BASELINE.json config 4).
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Dict, Optional, Union
 
@@ -34,6 +35,21 @@ from rrin_tpu.ops.warp import warp_pair
 Params = Dict[str, Any]
 
 # (in_ch, out_ch) signatures of the four cascade stages (SURVEY.md §2.1 row 2).
+# Warp gather variant on the bf16/int8 compute paths: the byte-packed
+# single-plane kernel (pairs="u8") halves the pairs variant's gathers and
+# window DMA and is EXACT for u8-decoded frames (ops/warp_pallas.py,
+# _warp_kernel_u8). Default off pending the TPU A/B; RRIN_WARP_U8=1
+# enables (read at import — flipping it mid-process does not retrace
+# already-compiled forwards).
+_WARP_U8 = os.environ.get("RRIN_WARP_U8", "0") == "1"
+
+
+def _warp_pairs_mode(cd):
+    if cd != jnp.bfloat16:
+        return False
+    return "u8" if _WARP_U8 else True
+
+
 UNET_SIGNATURES = {
     "flow": (6, 4),
     "refine": (10, 4),
@@ -224,7 +240,7 @@ def _forward_jit(
         return apply_fn(params[name], x, cfg).astype(f32)
 
     return _cascade(
-        run_unet, i0f, i1f, tb, cfg, use_pallas, pairs=(cd == jnp.bfloat16)
+        run_unet, i0f, i1f, tb, cfg, use_pallas, pairs=_warp_pairs_mode(cd)
     )
 
 
@@ -307,7 +323,7 @@ def forward_calibrate(
 
     out = _cascade(
         run_unet, i0.astype(f32), i1.astype(f32), tb, cfg, use_pallas,
-        pairs=(cd == jnp.bfloat16),
+        pairs=_warp_pairs_mode(cd),
     )
     return out, stats
 
@@ -353,7 +369,7 @@ def forward_saturation(
 
     _cascade(
         run_unet, i0.astype(f32), i1.astype(f32), tb, cfg, use_pallas,
-        pairs=(cd == jnp.bfloat16),
+        pairs=_warp_pairs_mode(cd),
     )
     return rates
 

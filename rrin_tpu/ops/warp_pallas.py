@@ -231,6 +231,144 @@ def _warp_planar_pallas_pairs(
     )(img_p, sxy)
 
 
+def _warp_kernel_u8(H: int, Wp: int, win_rows: int):
+    """Byte-packed variant: the 3 channels ride ONE f32 plane as packed
+    uint8 bytes (c0 | c1<<8 | c2<<16, bitcast to f32 for the 32-bit lane
+    gathers), so each bilinear tap needs 1 lane gather instead of the
+    pairs variant's 2 (and the f32 variant's 3), the per-row sublane
+    broadcast drops from 2-3 to 1, and the VMEM window / window DMA is a
+    single plane — half the pairs variant's bytes.
+
+    Exactness: the production warp sources are the INPUT FRAMES, which
+    are uint8-decoded and normalized as u8 * (1/255) (pipeline.py) — the
+    kernel's per-tap dequantization f32(byte) * (1/255) reproduces those
+    f32 values exactly, so unlike the pairs variant there is NO input
+    rounding loss in production (bf16 rounding of u8/255 values costs
+    ~2^-9 relative; bytes are exact). The 1/255 scale is folded into the
+    horizontal tap weights (one mul per chunk instead of six per tap).
+    On arbitrary (non-u8-sourced) f32 images the variant quantizes the
+    source to 8 bits — callers opt in via pairs="u8" only where sources
+    are u8-exact.
+    """
+    n_oc = Wp // LANES
+    inv255 = 1.0 / 255.0  # Python float: a jnp scalar would be a captured const
+
+    def kernel(img_ref, sxy_ref, out_ref, w0, sem):
+        b = pl.program_id(0)
+        rb = pl.program_id(1)
+        r0 = rb * RB
+        ws = jnp.clip(r0 + RB // 2 - win_rows // 2, 0, H - win_rows)
+        ws = pl.multiple_of((ws >> 3) << 3, 8)
+
+        cp = pltpu.make_async_copy(
+            img_ref.at[b, 0, pl.ds(ws, win_rows), :], w0, sem
+        )
+        cp.start()
+
+        sx = sxy_ref[0, 0]
+        sy = sxy_ref[0, 1]
+        x0f = jnp.floor(sx)
+        y0f = jnp.floor(sy)
+        wx = sx - x0f
+        wy = sy - y0f
+        x0 = x0f.astype(jnp.int32)
+        y0 = y0f.astype(jnp.int32)
+        yl = y0 - ws
+
+        cp.wait()
+
+        def byte(v, sh):  # packed i32 -> one channel as f32 in [0, 255]
+            return ((v >> sh) & 255).astype(jnp.float32)
+
+        for oc in range(n_oc):
+            sl = slice(oc * LANES, (oc + 1) * LANES)
+            for sb in range(RB // 8):
+                rs = slice(sb * 8, (sb + 1) * 8)
+                x0c = x0[rs, sl]
+                x1c = x0c + 1
+                wxc = wx[rs, sl]
+                # 1/255 dequant folded into the horizontal weights.
+                cw0 = (1.0 - wxc) * inv255
+                cw1 = wxc * inv255
+                xl0 = x0c & (LANES - 1)
+                xl1 = x1c & (LANES - 1)
+                xt0 = x0c >> 7
+                xt1 = x1c >> 7
+                ylc = yl[rs, sl]
+                wyc = wy[rs, sl]
+
+                rmin = jnp.clip(jnp.min(ylc), 0, win_rows - 1)
+                rmax = jnp.clip(jnp.max(ylc) + 1, 0, win_rows - 1)
+
+                def row_body(r, accs, ylc=ylc, wyc=wyc, xl0=xl0, xl1=xl1,
+                             xt0=xt0, xt1=xt1, cw0=cw0, cw1=cw1):
+                    wrow = jnp.where(ylc == r, 1.0 - wyc, 0.0) + jnp.where(
+                        ylc == r - 1, wyc, 0.0
+                    )
+                    g8 = pl.multiple_of((r >> 3) * 8, 8)
+                    ridx = jnp.full((8, LANES), r & 7, jnp.int32)
+
+                    out = list(accs)
+                    # STATIC tile visits (see _warp_kernel_pairs).
+                    for xt in (oc - 1, oc, oc + 1):
+                        if xt < 0 or xt >= n_oc:
+                            continue
+                        m0 = (xt0 == xt).astype(jnp.float32) * cw0
+                        m1 = (xt1 == xt).astype(jnp.float32) * cw1
+                        sub = w0[pl.ds(g8, 8), xt * LANES:(xt + 1) * LANES]
+                        row8 = jnp.take_along_axis(sub, ridx, axis=0)
+                        gv0 = jnp.take_along_axis(row8, xl0, axis=1)
+                        gv1 = jnp.take_along_axis(row8, xl1, axis=1)
+                        v0 = pltpu.bitcast(gv0, jnp.int32)
+                        v1 = pltpu.bitcast(gv1, jnp.int32)
+                        for c, sh in enumerate((0, 8, 16)):
+                            out[c] = out[c] + wrow * (
+                                m0 * byte(v0, sh) + m1 * byte(v1, sh))
+                    return tuple(out)
+
+                zero = jnp.zeros((8, LANES), jnp.float32)
+                acc = jax.lax.fori_loop(
+                    rmin, rmax + 1, row_body, (zero, zero, zero)
+                )
+                for c in range(3):
+                    out_ref[0, c, rs, sl] = acc[c]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("align_corners",))
+def _warp_planar_pallas_u8(
+    img_p: jnp.ndarray, sx: jnp.ndarray, sy: jnp.ndarray, align_corners: bool
+) -> jnp.ndarray:
+    """img_p: (B, 1, H, Wp) f32 of bitcast packed u8x3; sx/sy: (B, H, Wp)."""
+    b, c, h, wp = img_p.shape
+    assert c == 1 and h % RB == 0 and wp % LANES == 0
+    win_rows = min(WIN_MAX, h)
+    sxy = jnp.stack([sx, sy], axis=1)
+
+    kernel = _warp_kernel_u8(h, wp, win_rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // RB),
+        out_shape=jax.ShapeDtypeStruct((b, 3, h, wp), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(
+                (1, 2, RB, wp), lambda bi, ri: (bi, 0, ri, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, RB, wp), lambda bi, ri: (bi, 0, ri, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(img_p, sxy)
+
+
 def _warp_kernel(H: int, Wp: int, win_rows: int):
     """Kernel body builder; all sizes static. Channels are planar; the
     image is zero-padded to Wp lanes so x >= W naturally samples zeros."""
@@ -385,7 +523,7 @@ def _fast_path_ok(sy: jnp.ndarray, sx: jnp.ndarray, height: int) -> jnp.ndarray:
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def warp_one_pallas(
     img: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = False,
-    pairs: bool = False,
+    pairs=False,
 ) -> jnp.ndarray:
     """Warp (B,H,W,C=3) by (B,H,W,2): Pallas fast path + XLA fallback.
 
@@ -396,6 +534,10 @@ def warp_one_pallas(
     ``pairs=True`` selects the channel-paired bf16 variant (2 gathers per
     tap instead of 3, 1/3 less window VMEM/bandwidth) — quality cost is
     the input's bf16 rounding only; used on the bf16 compute path.
+    ``pairs="u8"`` selects the byte-packed variant (1 gather per tap,
+    half the pairs variant's window bytes) — EXACT when the source is
+    u8-derived (frames normalized as u8 * (1/255)), 8-bit quantizing
+    otherwise. See _warp_kernel_u8.
     """
     b, h, w, c = img.shape
     if c != 3 or h % RB or h < 32:
@@ -413,7 +555,7 @@ def warp_one_pallas(
 
 def _warp_one_tpu(
     img: jnp.ndarray, flow: jnp.ndarray, align_corners: bool,
-    pairs: bool = False,
+    pairs=False,
 ) -> jnp.ndarray:
     b, h, w, c = img.shape
 
@@ -425,7 +567,18 @@ def _warp_one_tpu(
         sx = jnp.pad(sx, ((0, 0), (0, 0), (0, pad)), constant_values=-2.0)
         sy = jnp.pad(sy, ((0, 0), (0, 0), (0, pad)), constant_values=0.0)
 
-    if pairs:
+    if pairs == "u8":
+        # One f32 plane of bitcast packed bytes c0 | c1<<8 | c2<<16.
+        # round(img*255) recovers the exact source bytes when img came
+        # from u8 * (1/255); the kernel dequantizes f32(byte) * (1/255).
+        u = jnp.round(jnp.clip(img.astype(jnp.float32), 0.0, 1.0) * 255.0
+                      ).astype(jnp.int32)
+        packed = u[..., 0] | (u[..., 1] << 8) | (u[..., 2] << 16)
+        if pad:
+            packed = jnp.pad(packed, ((0, 0), (0, 0), (0, pad)))
+        img_planar = jax.lax.bitcast_convert_type(
+            packed, jnp.float32)[:, None]  # (B,1,H,Wp)
+    elif pairs:
         imgb = img.astype(jnp.bfloat16)
         if pad:
             imgb = jnp.pad(imgb, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -444,7 +597,9 @@ def _warp_one_tpu(
         img_planar = jnp.transpose(imgf, (0, 3, 1, 2))  # (B,3,H,Wp)
 
     def fast(_):
-        if pairs:
+        if pairs == "u8":
+            out_p = _warp_planar_pallas_u8(img_planar, sx, sy, align_corners)
+        elif pairs:
             out_p = _warp_planar_pallas_pairs(img_planar, sx, sy, align_corners)
         else:
             out_p = _warp_planar_pallas(img_planar, sx, sy, align_corners)
@@ -452,7 +607,14 @@ def _warp_one_tpu(
         return out[:, :, :w, :]
 
     def slow(_):
-        src = img.astype(jnp.bfloat16).astype(jnp.float32) if pairs else img
+        if pairs == "u8":
+            src = jnp.round(
+                jnp.clip(img.astype(jnp.float32), 0.0, 1.0) * 255.0
+            ) * (1.0 / 255.0)
+        elif pairs:
+            src = img.astype(jnp.bfloat16).astype(jnp.float32)
+        else:
+            src = img
         return warp_bilinear(src, flow, align_corners=align_corners)
 
     return jax.lax.cond(
@@ -483,9 +645,12 @@ def warp_pair_pallas(
     flow_t0: jnp.ndarray,
     flow_t1: jnp.ndarray,
     align_corners: bool = False,
-    pairs: bool = False,
+    pairs=False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Both warps of the cascade through the Pallas kernel."""
+    """Both warps of the cascade through the Pallas kernel.
+
+    ``pairs``: False (f32 planes), True (bf16 channel pairs), or "u8"
+    (byte-packed single plane — exact for u8-derived sources)."""
     g0 = warp_one_pallas(i0, flow_t0, align_corners, pairs)
     g1 = warp_one_pallas(i1, flow_t1, align_corners, pairs)
     return g0, g1

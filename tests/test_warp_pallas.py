@@ -152,3 +152,79 @@ class TestWarpPairsVariant:
             )
         )
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestWarpU8Variant:
+    """Byte-packed single-plane variant (pairs="u8"): must match the XLA
+    reference computed on the u8-quantized image; EXACT (f32 rounding) for
+    u8-derived sources — the production case (frames are u8 * (1/255))."""
+
+    def _run_u8(self, img, flow, align_corners=False):
+        from rrin_tpu.ops import warp_pallas as wp
+
+        wp._FORCE_KERNEL = True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                return np.asarray(
+                    warp_one_pallas(
+                        jnp.asarray(img), jnp.asarray(flow), align_corners,
+                        "u8",
+                    )
+                )
+        finally:
+            wp._FORCE_KERNEL = False
+
+    @staticmethod
+    def _u8_round_trip(img):
+        return np.round(np.clip(img, 0.0, 1.0) * 255.0).astype(
+            np.float32) * np.float32(1.0 / 255.0)
+
+    @pytest.mark.parametrize("align_corners", [False, True])
+    def test_matches_u8_rounded_reference(self, case, align_corners):
+        img, flow = case()
+        want = np.asarray(
+            warp_bilinear(
+                jnp.asarray(self._u8_round_trip(img)),
+                jnp.asarray(flow), align_corners=align_corners,
+            )
+        )
+        got = self._run_u8(img, flow, align_corners)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_u8_source_exact(self, rng):
+        """u8-derived frames (the production source) lose nothing."""
+        raw = rng.integers(0, 256, (1, 32, 128, 3)).astype(np.float32)
+        img = raw * np.float32(1.0 / 255.0)
+        flow = (rng.standard_normal((1, 32, 128, 2)) * 2.5).astype(np.float32)
+        got = self._run_u8(img, flow)
+        want = np.asarray(warp_bilinear(jnp.asarray(img), jnp.asarray(flow)))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_out_of_bounds_zero_padding_u8(self, case):
+        img, flow = case(h=32, w=200, flow_bias=(6.0, 5.0))
+        got = self._run_u8(img, flow)
+        want = np.asarray(
+            warp_bilinear(
+                jnp.asarray(self._u8_round_trip(img)), jnp.asarray(flow))
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert np.all(got[0, -4:, -4:, :] == 0.0)
+
+    def test_large_vertical_flow_falls_back_u8(self, case):
+        """|dy| beyond the window: XLA fallback on the quantized source."""
+        img, flow = case(h=64, w=128, flow_scale=1.0, flow_bias=(0.0, 50.0))
+        got = self._run_u8(img, flow)
+        want = np.asarray(
+            warp_bilinear(
+                jnp.asarray(self._u8_round_trip(img)), jnp.asarray(flow))
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_batch_u8(self, case):
+        img, flow = case(b=2, h=32, w=256)
+        got = self._run_u8(img, flow)
+        want = np.asarray(
+            warp_bilinear(
+                jnp.asarray(self._u8_round_trip(img)), jnp.asarray(flow))
+        )
+        np.testing.assert_allclose(got, want, atol=1e-5)
