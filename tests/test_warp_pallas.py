@@ -228,3 +228,74 @@ class TestWarpU8Variant:
                 jnp.asarray(self._u8_round_trip(img)), jnp.asarray(flow))
         )
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestWarpU8ModelGate:
+    """RRIN_WARP_U8 env gate: the cascade selects pairs="u8" for bf16
+    forwards and the u8 kernel actually runs (models/rrin._warp_pairs_mode)."""
+
+    def test_forward_routes_u8_and_matches_pairs(self, rng):
+        from rrin_tpu.config import ModelConfig
+        from rrin_tpu.models import rrin as rr
+        from rrin_tpu.models.rrin import forward, init_params
+        from rrin_tpu.ops import warp_pallas as wp
+
+        cfg = ModelConfig()
+        params = init_params(jax.random.key(0), cfg)
+        # u8-derived frames: the production source (pipeline normalizes
+        # uint8 as u8 * (1/255)), for which the u8 kernel is exact.
+        i0 = jnp.asarray(
+            rng.integers(0, 256, (1, 64, 96, 3)).astype(np.float32) / 255.0)
+        i1 = jnp.asarray(
+            rng.integers(0, 256, (1, 64, 96, 3)).astype(np.float32) / 255.0)
+
+        # Interpret mode is scoped to the warp planar calls only: a
+        # process-wide interpret context would poison the conv sites'
+        # lax.platform_dependent branches with IO-effect mismatches.
+        calls = []
+
+        def interp_wrap(orig, tag):
+            def wrapped(*a, **k):
+                calls.append(tag)
+                with pltpu.force_tpu_interpret_mode():
+                    return orig(*a, **k)
+            return wrapped
+
+        def run():
+            wp._FORCE_KERNEL = True
+            try:
+                return np.asarray(forward(
+                    params, i0, i1, jnp.float32(0.5), cfg=cfg,
+                    compute_dtype=jnp.bfloat16, use_pallas=True,
+                ).astype(jnp.float32))
+            finally:
+                wp._FORCE_KERNEL = False
+
+        old_pairs = wp._warp_planar_pallas_pairs
+        old_u8 = wp._warp_planar_pallas_u8
+        old_env = rr._WARP_U8
+        wp._warp_planar_pallas_pairs = interp_wrap(old_pairs, "pairs")
+        wp._warp_planar_pallas_u8 = interp_wrap(old_u8, "u8")
+        try:
+            assert rr._warp_pairs_mode(jnp.bfloat16) is True
+            want = run()  # default gate: pairs variant
+            assert "pairs" in calls and "u8" not in calls, calls
+            rr._WARP_U8 = True
+            assert rr._warp_pairs_mode(jnp.bfloat16) == "u8"
+            # The gate is read at trace time (env is import-time in
+            # production); drop the cached executable so the flip retraces.
+            rr._forward_jit.clear_cache()
+            got = run()
+        finally:
+            rr._WARP_U8 = old_env
+            wp._warp_planar_pallas_pairs = old_pairs
+            wp._warp_planar_pallas_u8 = old_u8
+            # Don't leave a u8-traced executable in the cache for later
+            # same-signature bf16 forwards in this process.
+            rr._forward_jit.clear_cache()
+        assert "u8" in calls, "u8 kernel variant was never traced"
+        # Same bf16 conv path on both sides; only the warp source rounding
+        # differs (bf16 vs exact bytes) — outputs must agree closely.
+        mse = float(np.mean((got - want) ** 2))
+        psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+        assert psnr > 45.0, psnr
