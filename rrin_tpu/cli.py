@@ -57,7 +57,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8", action="store_true",
                    help="int8 U-Net convs (v5e MXU fast path): calibrates "
                    "activation ranges on the first batch; >35 dB vs the "
-                   "fp32 output (single-device packed path only)")
+                   "fp32 output (composes with --data-parallel; excluded "
+                   "only by --spatial sharding)")
     p.add_argument("--int8-margin", type=float, default=1.2,
                    help="safety factor on the calibrated int8 activation "
                    "ranges (guards later frames exceeding the first "
