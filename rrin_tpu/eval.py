@@ -136,6 +136,14 @@ def evaluate(
 
     cfg = cfg or ModelConfig()
     cd = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[compute_dtype]
+    if int8_percentile is not None and not 50.0 < int8_percentile <= 100.0:
+        # Same bound the pipeline enforces; a unit mistake (0.999 for
+        # 99.9%) would otherwise calibrate near the |x| MINIMUM and score
+        # a silently meaningless int8 quality number.
+        raise ValueError(
+            "int8_percentile must be in (50, 100] (percent of "
+            f"|activation| mass to keep), got {int8_percentile}"
+        )
     preset_stats = quant_stats  # resolution-independent persisted ranges
 
     psnrs: List[float] = []

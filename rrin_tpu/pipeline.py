@@ -43,6 +43,18 @@ def _dtype_from_name(name: str):
     return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
 
 
+def _normalize_pad(pairs_u8: jnp.ndarray, ph: int, pw: int) -> jnp.ndarray:
+    """uint8 (B, 2, H, W, 3) -> f32 [0, 1], edge-padded to the /16 grid.
+
+    THE device-side preprocessing, shared by serving (_step_body),
+    calibration (_calibrate_body) and saturation telemetry so all three
+    measure/compute on identically prepared inputs."""
+    x = pairs_u8.astype(jnp.float32) * (1.0 / 255.0)
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    return x
+
+
 def _step_body(
     params: Dict[str, Any],
     pairs_u8: jnp.ndarray,
@@ -77,9 +89,7 @@ def _step_body(
         padded_size(h, cfg.pad_multiple) - h,
         padded_size(w, cfg.pad_multiple) - w,
     )
-    x = pairs_u8.astype(jnp.float32) * (1.0 / 255.0)
-    if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    x = _normalize_pad(pairs_u8, ph, pw)
     i0, i1 = x[:, 0], x[:, 1]
     m = (1 << exp) - 1
 
@@ -177,9 +187,7 @@ def _calibrate_body(
         padded_size(h, cfg.pad_multiple) - h,
         padded_size(w, cfg.pad_multiple) - w,
     )
-    x = pairs_u8.astype(jnp.float32) * (1.0 / 255.0)
-    if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+    x = _normalize_pad(pairs_u8, ph, pw)
     _, stats = forward_calibrate(
         params, x[:, 0], x[:, 1], 0.5, cfg=cfg,
         compute_dtype=compute_dtype, use_pallas=use_pallas,
@@ -403,6 +411,21 @@ class Interpolator:
                 n = data_parallel if data_parallel > 0 else 0
                 mesh = make_mesh(n_data=n, n_spatial=spatial)
             if mesh.devices.size > 1:
+                if int8:
+                    # Same constraint as the `spatial` arg check above,
+                    # but derived from the MESH (a prebuilt mesh with a
+                    # >1 spatial axis routes to the jit-SPMD path — see
+                    # _dp_fast — where int8 would crash mid-step after a
+                    # wasted calibration pass).
+                    from rrin_tpu.parallel.sharding import SPATIAL_AXIS
+
+                    n_sp = int(dict(mesh.shape).get(SPATIAL_AXIS, 1))
+                    if n_sp > 1:
+                        raise ValueError(
+                            "int8 composes with data_parallel (shard_map "
+                            "DP) but not with spatial sharding (mesh has "
+                            f"a {n_sp}-way '{SPATIAL_AXIS}' axis)"
+                        )
                 self.mesh = mesh
                 self.params = replicate_params(mesh, params)
 
@@ -552,13 +575,7 @@ class Interpolator:
         if self.mesh is not None:
             params = jax.tree.map(lambda x: np.asarray(x), params)
             stats = jax.tree.map(lambda x: np.asarray(x), stats)
-        x = jnp.asarray(pairs_u8).astype(jnp.float32) * (1.0 / 255.0)
-        if pad_hw[0] or pad_hw[1]:
-            x = jnp.pad(
-                x,
-                ((0, 0), (0, 0), (0, pad_hw[0]), (0, pad_hw[1]), (0, 0)),
-                mode="edge",
-            )
+        x = _normalize_pad(jnp.asarray(pairs_u8), pad_hw[0], pad_hw[1])
         rates = forward_saturation(
             params, x[:, 0], x[:, 1], stats, 0.5, cfg=self.cfg,
             compute_dtype=self.compute_dtype, use_pallas=self.use_pallas,

@@ -105,9 +105,17 @@ def interpolate_video_resumable(
         "fourcc": fourcc,
         "retime_fps": retime_fps,
         "slowmo": slowmo,
+        # Quantization config is part of the job identity: a resume under
+        # a different int8 grid would silently mix quantizations across
+        # segments (the sidecar mechanism below assumes ONE config).
+        "compute_dtype": str(compute_dtype),
+        "int8": int8,
+        "int8_margin": int8_margin,
+        "int8_percentile": int8_percentile,
     }
     manifest: Dict[str, Any]
-    if resume and os.path.exists(mpath):
+    fresh_job = not (resume and os.path.exists(mpath))
+    if not fresh_job:
         with open(mpath) as f:
             manifest = json.load(f)
         if {k: manifest.get(k) for k in job_sig} != job_sig:
@@ -133,7 +141,11 @@ def interpolate_video_resumable(
     seg_stats = quant_stats
     if int8 and quant_stats is None:
         calib_sidecar = output_path + ".calib.npz"
-        if resume and os.path.exists(calib_sidecar):
+        if fresh_job and os.path.exists(calib_sidecar):
+            # A sidecar from a previous job at this output path would
+            # silently impose a stale int8 grid on the new one.
+            os.remove(calib_sidecar)
+        elif resume and os.path.exists(calib_sidecar):
             from rrin_tpu.params import load_calibration
 
             seg_stats = load_calibration(calib_sidecar)
@@ -180,7 +192,12 @@ def interpolate_video_resumable(
                     else None
                 ),
             )
-            if calib_sidecar and seg_stats is None:
+            if (calib_sidecar and seg_stats is None
+                    and os.path.exists(calib_sidecar)):
+                # A segment that dispatched no device work (e.g. a
+                # pure-copy retime slice) never calibrates and writes no
+                # sidecar — leave seg_stats unset so the first segment
+                # that does compute calibrates the job grid.
                 from rrin_tpu.params import load_calibration
 
                 seg_stats = load_calibration(calib_sidecar)

@@ -386,3 +386,22 @@ class TestReviewRegressions:
                  "--calib", "c.npz"])
         assert rc == 2
         assert "only apply to --int8" in capsys.readouterr().err
+
+    def test_int8_rejected_with_prebuilt_spatial_mesh(self, params):
+        """int8 + a PREBUILT mesh carrying a >1 spatial axis must fail at
+        construction with the clear composition error, not mid-step after
+        a wasted calibration pass (the spatial arg alone was checked)."""
+        from rrin_tpu.parallel.sharding import make_mesh
+        from rrin_tpu.pipeline import Interpolator
+
+        mesh = make_mesh(n_data=2, n_spatial=2)
+        with pytest.raises(ValueError, match="spatial"):
+            Interpolator(params, int8=True, mesh=mesh)
+
+    def test_eval_percentile_range_validated(self, params, tmp_path):
+        """0.999 (user means 99.9%) must raise, not calibrate near the
+        |x| minimum and report a silently meaningless int8 score."""
+        from rrin_tpu.eval import evaluate
+
+        with pytest.raises(ValueError, match=r"\(50, 100\]"):
+            evaluate(params, [], int8=True, int8_percentile=0.999)

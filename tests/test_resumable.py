@@ -183,3 +183,65 @@ class TestImagePairTool:
         cv2.imwrite(b, (rng.random((32, 96, 3)) * 255).astype(np.uint8))
         rc = img_main(["--im1", a, "--im3", b, "-o", str(tmp_path / "o.png")])
         assert rc == 2
+
+
+class TestReviewRegressionsR3:
+    """Round-3 review findings (resumable int8 sidecar lifecycle)."""
+
+    def test_int8_job_with_no_device_work(self, video, params, tmp_path):
+        """slowmo=1.0 retimes to the input timeline: every segment is a
+        pure frame copy, no calibration ever runs and no sidecar is
+        written — the post-segment sidecar load must tolerate that
+        (used to raise FileNotFoundError)."""
+        out = str(tmp_path / "copy_int8.mp4")
+        manifest = interpolate_video_resumable(
+            video, out, params, compute_dtype="float32",
+            segment_pairs=4, int8=True, slowmo=1.0,
+        )
+        assert manifest["finished"]
+        assert probe_video(out).frame_count == N
+        assert not os.path.exists(out + ".calib.npz")
+
+    def test_resume_with_different_int8_config_rejected(
+        self, video, params, tmp_path
+    ):
+        """The quantization config is part of the job signature: a resume
+        under different int8 settings must be rejected, not silently mix
+        quantization grids across segments."""
+        out = str(tmp_path / "seg_cfg.mp4")
+        interpolate_video_resumable(
+            video, out, params, compute_dtype="float32",
+            segment_pairs=4, int8=True, keep_segments=True,
+        )
+        with pytest.raises(ValueError, match="different job config"):
+            interpolate_video_resumable(
+                video, out, params, compute_dtype="float32",
+                segment_pairs=4, int8=True, int8_percentile=99.9,
+            )
+
+    def test_stale_sidecar_removed_on_fresh_job(
+        self, video, params, tmp_path, monkeypatch
+    ):
+        """A sidecar left by a killed job must not impose its grid on a
+        NEW job at the same output path (fresh manifest = fresh grid)."""
+        import rrin_tpu.resumable as rs
+
+        out = str(tmp_path / "fresh.mp4")
+        sidecar = out + ".calib.npz"
+        with open(sidecar, "wb") as f:
+            f.write(b"stale garbage, must never be parsed")
+
+        calls = []
+        real = rs.interpolate_video
+
+        def spy(*a, **kw):
+            calls.append(kw.get("quant_stats"))
+            return real(*a, **kw)
+
+        monkeypatch.setattr(rs, "interpolate_video", spy)
+        manifest = interpolate_video_resumable(
+            video, out, params, compute_dtype="float32",
+            segment_pairs=8, int8=True,
+        )
+        assert manifest["finished"]
+        assert calls[0] is None  # first segment calibrated fresh
