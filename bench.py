@@ -85,6 +85,20 @@ def run_selfcheck() -> dict:
     got = np.asarray(warp_one_pallas(img, flow, False))
     report["warp_psnr_db"] = round(_psnr_db(ref, got), 1)
 
+    # Channel-paired bf16 variant (the bf16 compute path): reference is
+    # XLA warp of the bf16-rounded image — the variant's only loss.
+    imgb = img.astype(jnp.bfloat16).astype(jnp.float32)
+    refp2 = np.asarray(jax.jit(warp_bilinear)(imgb, flow))
+    gotp2 = np.asarray(warp_one_pallas(img, flow, False, True))
+    report["warp_pairs_psnr_db"] = round(_psnr_db(refp2, gotp2), 1)
+
+    # Byte-packed u8 variant (RRIN_WARP_U8 candidate): EXACT for
+    # u8-derived sources (the production frames).
+    img8 = jnp.round(img * 255.0) * jnp.float32(1.0 / 255.0)
+    refu8 = np.asarray(jax.jit(warp_bilinear)(img8, flow))
+    gotu8 = np.asarray(warp_one_pallas(img8, flow, False, "u8"))
+    report["warp_u8_psnr_db"] = round(_psnr_db(refu8, gotu8), 1)
+
     # Phase-conv kernel: the stem conv2 pattern (7x7, 32->32, bf16).
     x = jnp.asarray(
         rng.random((1, 64, 448, 32), dtype=np.float32), jnp.bfloat16
@@ -283,6 +297,8 @@ def run_selfcheck() -> dict:
 
     report["ok"] = bool(
         report["warp_psnr_db"] > 60.0
+        and report["warp_pairs_psnr_db"] > 60.0
+        and report["warp_u8_psnr_db"] > 60.0
         and report["conv_psnr_db"] > 60.0
         and report["conv_packed_psnr_db"] > 60.0
         and report["conv_up_psnr_db"] > 60.0
