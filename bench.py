@@ -465,6 +465,25 @@ def main() -> int:
     if args.watchdog > 0:
         done = _arm_watchdog(args.watchdog)
 
+    try:
+        return _run(args, done)
+    except BaseException as e:  # noqa: BLE001 — driver contract:
+        # ALWAYS print one JSON line, even on a crash (the watchdog only
+        # covers hangs); the traceback still goes to stderr for triage.
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "bench_error", "value": 0.0, "unit": "none",
+            "vs_baseline": 0.0,
+            "detail": {"error": f"{type(e).__name__}: {e}"},
+        }))
+        if done is not None:
+            done.set()
+        return 1
+
+
+def _run(args, done) -> int:
     if args.selfcheck_only:
         print(json.dumps({"selfcheck": run_selfcheck()}))
         if done is not None:
