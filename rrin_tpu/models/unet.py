@@ -297,12 +297,12 @@ def _packed_m0(w: int) -> int:
 # models/rrin.forward and pipeline.Interpolator so the prep decision and
 # the forward gate can never disagree.
 #
-# The packed kernels now request a 100 MB budget
-# (ops/conv_packed._VMEM_LIMIT_BYTES), which should admit 4K bf16 —
-# RRIN_BF16_M0_MAX=1000 enables it for the queued TPU A/B; the default
-# stays 800 until that run validates compile + throughput (raising a
-# budget check is free, but the 4K-sized windows' DMA pipelining is
-# unmeasured).
+# The packed kernels request a PER-CALL-sized budget when their scratch
+# exceeds the default (ops/conv_packed._compiler_params) — a blanket
+# 100 MB request measured ~10% SLOWER at 1080p int8, so only 4K-class
+# calls ask for more. RRIN_BF16_M0_MAX=1000 enables 4K bf16 packed for
+# the queued TPU A/B; the default stays 800 until that run validates
+# compile + throughput at the 4K window sizes.
 _BF16_PACKED_M0_MAX = int(os.environ.get("RRIN_BF16_M0_MAX", 800))
 
 

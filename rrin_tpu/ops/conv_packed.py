@@ -62,18 +62,65 @@ _FORCE_KERNEL = False
 
 # Mosaic's default per-kernel scoped-VMEM budget (~16 MB) rejects the
 # window scratch at 4K-class group counts (the windows scale with m0),
-# even though v5e has 128 MB of physical VMEM. Every packed kernel
-# requests a larger budget: vmem_limit_bytes is a compile-time budget
-# CHECK, not a scheduling hint — kernels already under the default
-# compile identically. 100 MB leaves headroom over the largest 4K bf16
-# window set while staying under the physical limit.
-_VMEM_LIMIT_BYTES = int(
-    os.environ.get("RRIN_KERNEL_VMEM_LIMIT", 100 * 2**20)
-)
+# even though v5e has 128 MB of physical VMEM. Round 3 first requested a
+# blanket 100 MB from every packed kernel — and MEASURED a ~10% int8
+# regression at 1080p (16.6 vs 18.4 fps): vmem_limit_bytes is NOT a pure
+# budget check; raising it changes Mosaic's scheduling for kernels that
+# never needed the headroom. The budget is therefore sized PER CALL:
+# kernels whose scratch+blocks fit the default get compiler_params=None
+# (bit-identical to pre-round-3 compilation), and only the 4K-class
+# calls request a raised budget (2x their estimated VMEM footprint,
+# capped at 100 MB). RRIN_KERNEL_VMEM_LIMIT forces a fixed budget for
+# every call (A/B hook).
+_VMEM_LIMIT_OVERRIDE = os.environ.get("RRIN_KERNEL_VMEM_LIMIT")
+_MOSAIC_DEFAULT_VMEM = 16 * 2**20
+_VMEM_LIMIT_CAP = 100 * 2**20
 
 
-def _compiler_params() -> pltpu.CompilerParams:
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+def _vmem_ref_bytes(refs) -> int:
+    """Total bytes of the VMEM MemoryRefs in ``refs`` (semaphores skip)."""
+    total = 0
+    for r in refs:
+        shape = getattr(r, "shape", None)
+        dtype = getattr(r, "dtype", None)
+        if shape is None or dtype is None:
+            continue
+        try:
+            itemsize = np.dtype(dtype).itemsize
+        except TypeError:  # semaphore pseudo-dtypes
+            continue
+        n = 1
+        for d in shape:
+            n *= int(d)
+        total += n * itemsize
+    return total
+
+
+def _arr_bytes(arrs) -> int:
+    """Total bytes of the given (possibly traced) arrays."""
+    return sum(
+        int(np.prod(a.shape)) * np.dtype(a.dtype).itemsize for a in arrs
+    )
+
+
+def _compiler_params(est_bytes: int) -> Optional[pltpu.CompilerParams]:
+    """Raised-VMEM request sized to this call, or None for the default.
+
+    ``est_bytes`` is the call's scratch + VMEM-block footprint; 2x covers
+    Mosaic's own double-buffering/spill slack. Returning None keeps the
+    default budget, which measured ~10% faster than an inflated request
+    on kernels that fit it.
+    """
+    if _VMEM_LIMIT_OVERRIDE is not None:
+        return pltpu.CompilerParams(
+            vmem_limit_bytes=int(_VMEM_LIMIT_OVERRIDE)
+        )
+    need = 2 * est_bytes
+    if need <= _MOSAIC_DEFAULT_VMEM:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(need, _VMEM_LIMIT_CAP)
+    )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -469,7 +516,11 @@ def _conv_packed_impl(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=scratch + [pltpu.SemaphoreType.DMA((n_in,))],
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(
+            _vmem_ref_bytes(scratch)
+            + _arr_bytes(operands[n_in:])
+            + RB * out_m * out_l * np.dtype(dtype).itemsize
+        ),
     )(*operands)
 
 
@@ -782,13 +833,17 @@ def _conv_up_packed_impl(
             (1, RB, m, lout), lambda bi, ri: (bi, ri, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
+        scratch_shapes=(scratch := [
             pltpu.VMEM((WIN_SRC, mw, lin_half), x.dtype),
             pltpu.VMEM((RB + 2 * hh, mw, lin_up), win_dt),
             pltpu.VMEM((mw, lin_up), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-        ],
-        compiler_params=_compiler_params(),
+        ]),
+        compiler_params=_compiler_params(
+            _vmem_ref_bytes(scratch)
+            + _arr_bytes(operands[1:])
+            + RB * m * lout * np.dtype(dtype).itemsize
+        ),
     )(*operands)
 
 
@@ -1069,12 +1124,16 @@ def _conv_pool_packed_impl(
             (1, RB, m, lout), lambda bi, ri: (bi, ri, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
+        scratch_shapes=(scratch := [
             pltpu.VMEM((WIN_PSRC, mw, lin_src), x.dtype),
             pltpu.VMEM((RB + 2 * hh, mw, p_out * (lin_src // p_in)), win_dt),
             pltpu.SemaphoreType.DMA(()),
-        ],
-        compiler_params=_compiler_params(),
+        ]),
+        compiler_params=_compiler_params(
+            _vmem_ref_bytes(scratch)
+            + _arr_bytes(operands[1:])
+            + RB * m * lout * np.dtype(dtype).itemsize
+        ),
     )(*operands)
 
 
@@ -1795,13 +1854,17 @@ def _conv_up_m_impl(
             (1, RB, m_out, lout), lambda bi, ri: (bi, ri, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
+        scratch_shapes=(scratch := [
             pltpu.VMEM((WIN_SRC, m_src, lin), x.dtype),
             pltpu.VMEM((RB + 2 * hh, mw, lin), win_dt),
             pltpu.VMEM((2 * m_src, lin), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
-        ],
-        compiler_params=_compiler_params(),
+        ]),
+        compiler_params=_compiler_params(
+            _vmem_ref_bytes(scratch)
+            + _arr_bytes(operands[1:])
+            + RB * m_out * lout * np.dtype(dtype).itemsize
+        ),
     )(*operands)
 
 
@@ -2319,12 +2382,16 @@ def _conv_up_f_impl(
             (1, RB, m, lout), lambda bi, ri: (bi, ri, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
+        scratch_shapes=(scratch := [
             pltpu.VMEM((WIN_SRC, mw, lin), x.dtype),
             pltpu.VMEM((RB + 2 * hh, mw, lin), win_dt),
             pltpu.SemaphoreType.DMA(()),
-        ],
-        compiler_params=_compiler_params(),
+        ]),
+        compiler_params=_compiler_params(
+            _vmem_ref_bytes(scratch)
+            + _arr_bytes(operands[1:])
+            + RB * m * lout * np.dtype(dtype).itemsize
+        ),
     )(*operands)
 
 

@@ -112,8 +112,15 @@ class TestConvUpFParity:
                              absmax=ax, out_absmax=oax)
         assert got.dtype == jnp.int8
         ref = _conv_up_f_xla(xq, w, b, spec, c, off_out, 0.1, ax, oax)
-        assert _psnr(np.asarray(got, np.float64),
-                     np.asarray(ref, np.float64)) > 120
+        # The kernel's dots are int32-exact; the fallback accumulates the
+        # same math in f32 — outputs landing exactly on a rounding tie
+        # (.5 on the int8 grid) can flip by 1 code depending on the f32
+        # summation order XLA picks (observed order-dependent under a
+        # full-suite run: ~7e-5 of codes off by 1, 82.9 dB). Assert
+        # tie-tolerant: codes match except for a tiny fraction of +-1s.
+        diff = np.abs(np.asarray(got, np.int32) - np.asarray(ref, np.int32))
+        assert diff.max() <= 1
+        assert (diff != 0).mean() < 1e-3
 
     def test_int8_quality_vs_float(self, rng):
         p, c, cout, off_in, off_out, m, w_real, h = SITES[1]
