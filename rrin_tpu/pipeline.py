@@ -353,7 +353,12 @@ class Interpolator:
             # shard_map runs the full int8 fast path on every device.
             raise ValueError(
                 "int8 composes with data_parallel (shard_map DP) but not "
-                "with spatial sharding"
+                "with spatial sharding: the spatial path is plain-XLA by "
+                "design — the cascade's 8 warps each all-gather the "
+                "full-res frame across spatial shards, so the Mosaic/int8 "
+                "fast path cannot ride it. Use --data-parallel for "
+                "multi-chip int8 throughput (docs/PERFORMANCE.md "
+                "'Spatial sharding x fast path')."
             )
         if int8_percentile is not None:
             if not int8:
