@@ -333,8 +333,13 @@ def run_bench(size: str = "1080p", iters: int = 10, batch: int = 1,
     params = init_params(jax.random.key(0), cfg)
     h, w = SIZES[size]
     rng = np.random.default_rng(0)
-    i0 = jnp.asarray(rng.random((batch, h, w, 3), dtype=np.float32))
-    i1 = jnp.asarray(rng.random((batch, h, w, 3), dtype=np.float32))
+    # u8-derived frames, like production (pipeline normalizes decoded
+    # uint8 as u8 * (1/255)) — the default byte-packed warp variant is
+    # exact for these sources (ops/warp_pallas._warp_kernel_u8).
+    i0 = jnp.asarray(rng.integers(0, 256, (batch, h, w, 3)).astype(
+        np.float32) / 255.0)
+    i1 = jnp.asarray(rng.integers(0, 256, (batch, h, w, 3)).astype(
+        np.float32) / 255.0)
 
     quant_stats = None
     int8_psnr = None

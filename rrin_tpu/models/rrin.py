@@ -38,10 +38,13 @@ Params = Dict[str, Any]
 # Warp gather variant on the bf16/int8 compute paths: the byte-packed
 # single-plane kernel (pairs="u8") halves the pairs variant's gathers and
 # window DMA and is EXACT for u8-decoded frames (ops/warp_pallas.py,
-# _warp_kernel_u8). Default off pending the TPU A/B; RRIN_WARP_U8=1
-# enables (read at import — flipping it mid-process does not retrace
+# _warp_kernel_u8). Default ON per the round-4 TPU A/B
+# (benchmarks/AB_R4.json: 1080p int8 18.34 -> 18.60 fps, 1080p bf16
+# 11.97 -> 12.16, 720p int8 42.79 -> 43.61; vimeo-b8 neutral within
+# jitter). RRIN_WARP_U8=0 reverts to the channel-paired bf16 variant
+# (read at import — flipping it mid-process does not retrace
 # already-compiled forwards).
-_WARP_U8 = os.environ.get("RRIN_WARP_U8", "0") == "1"
+_WARP_U8 = os.environ.get("RRIN_WARP_U8", "1") == "1"
 
 
 def _warp_pairs_mode(cd):
@@ -186,11 +189,11 @@ def _forward_jit(
     if use_packed and quant_stats is None:
         from rrin_tpu.models.unet import packed_bf16_supported
 
-        # Scoped-VMEM bound (see unet.packed_bf16_supported): bf16 packed
-        # kernels exceed the 16 MB scoped limit at 4K-class widths; int8
-        # windows are half the bytes and fit — 4K single-chip serves via
-        # --int8 (or spatially sharded, SURVEY §2.3); bf16 falls back to
-        # the plain path here.
+        # Scoped-VMEM bound (see unet.packed_bf16_supported): the per-call
+        # Mosaic VMEM budgets admit 4K bf16 packed (2.3x the plain path,
+        # benchmarks/AB_R4.json); only wider-than-4K bf16 frames fall back
+        # to the plain path here. int8 windows are half the bytes and are
+        # never bound by this.
         use_packed = packed_bf16_supported(i0.shape[-2])
     if quant_stats is not None and not use_packed:
         raise ValueError(

@@ -269,9 +269,12 @@ _PK = {
 # entry pad+copy+quantize bytes; conv1 runs at P=8 and re-emits the
 # standard P=4 layout in-kernel. Requires cin <= 16 (all four RRIN
 # U-Nets: 6/10/16/9); falls back per-call otherwise. Same math as the
-# classic entry through conv2's output. NOTE: read at trace time — flip
-# it between jitted calls only with jax.clear_caches(), or via the env
-# var in a fresh process (the A/B path).
+# classic entry through conv2's output. Round-4 TPU A/B
+# (benchmarks/AB_R4.json): ON wins 18.34 vs 17.95 fps 1080p int8
+# (+2.2%) and 11.97 vs 11.48 bf16 (+4.3%) — default stays ON, measured.
+# NOTE: read at trace time — flip it between jitted calls only with
+# jax.clear_caches(), or via the env var in a fresh process (the A/B
+# path).
 DENSE_ENTRY = os.environ.get("RRIN_DENSE_ENTRY", "1") != "0"
 
 
@@ -292,18 +295,21 @@ def _packed_m0(w: int) -> int:
 
 # Scoped-VMEM bound for the BF16 packed kernels: their per-block windows
 # scale with the group count m0, and above m0 ~ 800 (4K-class widths,
-# w > ~3200) several sites measured over Mosaic's DEFAULT ~16 MB budget.
-# int8 windows are half the bytes and fit at 4K. One predicate shared by
-# models/rrin.forward and pipeline.Interpolator so the prep decision and
-# the forward gate can never disagree.
+# w > ~3200) several sites exceed Mosaic's DEFAULT ~16 MB budget — which
+# is exactly what the per-call budget request below exists to cover.
+# int8 windows are half the bytes and fit at 4K under the default. One
+# predicate shared by models/rrin.forward and pipeline.Interpolator so
+# the prep decision and the forward gate can never disagree.
 #
 # The packed kernels request a PER-CALL-sized budget when their scratch
 # exceeds the default (ops/conv_packed._compiler_params) — a blanket
 # 100 MB request measured ~10% SLOWER at 1080p int8, so only 4K-class
-# calls ask for more. RRIN_BF16_M0_MAX=1000 enables 4K bf16 packed for
-# the queued TPU A/B; the default stays 800 until that run validates
-# compile + throughput at the 4K window sizes.
-_BF16_PACKED_M0_MAX = int(os.environ.get("RRIN_BF16_M0_MAX", 800))
+# calls ask for more. Round-4 TPU A/B (benchmarks/AB_R4.json): with the
+# per-call budgets, 4K bf16 packed compiles and runs 2.687 fps vs 1.173
+# on the plain-path fallback (2.3x), so the default admits 4K widths
+# (m0=968 at w=3840). The bound still exists as a safety valve for
+# wider-than-4K frames nobody has measured; RRIN_BF16_M0_MAX overrides.
+_BF16_PACKED_M0_MAX = int(os.environ.get("RRIN_BF16_M0_MAX", 1000))
 
 
 def packed_bf16_supported(w: int) -> bool:

@@ -258,10 +258,11 @@ class TestShardedPipeline:
         assert out.shape == (2, 1, 32, 64, 3)
 
     def test_wide_bf16_skips_packed_prep(self, params):
-        """4K-class widths exceed the bf16 packed kernels' scoped-VMEM
-        bound (models/unet.packed_bf16_supported): forward falls back
-        to the plain path, so the Interpolator must not build (and
-        cache) a PackedParams tree it would discard."""
+        """Widths beyond the bf16 packed kernels' scoped-VMEM bound
+        (models/unet.packed_bf16_supported; 4K itself fits since the
+        round-4 A/B raised the bound — benchmarks/AB_R4.json): forward
+        falls back to the plain path, so the Interpolator must not
+        build (and cache) a PackedParams tree it would discard."""
         from rrin_tpu.config import ModelConfig
         from rrin_tpu.models.unet import (
             packed_bf16_supported,
@@ -270,14 +271,15 @@ class TestShardedPipeline:
         from rrin_tpu.pipeline import Interpolator
 
         cfg = ModelConfig()
-        assert packed_supported(48, 3840, cfg)  # packed would apply...
-        assert not packed_bf16_supported(3840)  # ...but bf16 can't fit
+        assert packed_bf16_supported(3840)  # 4K fits (A/B round 4)
+        assert packed_supported(48, 4096, cfg)  # packed would apply...
+        assert not packed_bf16_supported(4096)  # ...but bf16 can't fit
         interp = Interpolator(params, compute_dtype="float32",
                               use_pallas=True)
-        pairs = np.zeros((1, 2, 48, 3840, 3), np.uint8)
+        pairs = np.zeros((1, 2, 48, 4096, 3), np.uint8)
         out = interp.step(pairs)
-        assert interp._packed_params[(48, 3840)] is None
-        assert out.shape == (1, 1, 48, 3840, 3)
+        assert interp._packed_params[(48, 4096)] is None
+        assert out.shape == (1, 1, 48, 4096, 3)
 
 
 class TestOddResolutions:

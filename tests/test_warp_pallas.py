@@ -277,8 +277,11 @@ class TestWarpU8ModelGate:
         wp._warp_planar_pallas_pairs = interp_wrap(old_pairs, "pairs")
         wp._warp_planar_pallas_u8 = interp_wrap(old_u8, "u8")
         try:
+            # Default flipped ON in round 4 per benchmarks/AB_R4.json.
+            rr._WARP_U8 = False
             assert rr._warp_pairs_mode(jnp.bfloat16) is True
-            want = run()  # default gate: pairs variant
+            rr._forward_jit.clear_cache()
+            want = run()  # pairs variant
             assert "pairs" in calls and "u8" not in calls, calls
             rr._WARP_U8 = True
             assert rr._warp_pairs_mode(jnp.bfloat16) == "u8"
