@@ -142,7 +142,7 @@ def main(argv=None) -> int:
         print("\n--- examples")
         for k in buckets:
             for dur, name, long_name in examples[k]:
-                print(f"{k:18s} {dur:8d} us  {name}  {long_name}")
+                print(f"{k:18s} {dur:8.0f} us  {name}  {long_name}")
     return 0
 
 

@@ -87,11 +87,22 @@ def _cascade(
     cfg: ModelConfig,
     use_pallas: bool,
     pairs: bool,
+    flows: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """The shared 4-UNet dataflow (SURVEY.md App-A); ``run_unet(name,
     *feats)`` applies one U-Net to the channel-concat of ``feats``."""
-    # 1. coarse bidirectional flow
-    flows = run_unet("flow", i0f, i1f)
+    # 1. coarse bidirectional flow. This U-Net is the only t-INDEPENDENT
+    # stage of the cascade: for m output times of one frame pair its
+    # output is identical, so multi-frame callers (pipeline._step_body
+    # direct/times modes with m > 1) compute it once per pair via
+    # ``flows_only`` and pass the repeated result in here — ~1/4 of the
+    # U-Net compute and one entry pack per extra time step saved. Same
+    # math: bit-identical outputs in f32/int8; in bf16 XLA may re-block
+    # the batch-B flow U-Net differently from batch-B*m, an ulp-level
+    # reassociation (<=1 u8 step on isolated rounding-boundary pixels —
+    # tests/test_flow_shared.py).
+    if flows is None:
+        flows = run_unet("flow", i0f, i1f)
     f01, f10 = flows[..., :2], flows[..., 2:]
 
     # 2. flow-to-time projection (fp32)
@@ -124,7 +135,10 @@ def _cascade(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "compute_dtype", "use_pallas", "remat", "packed"),
+    static_argnames=(
+        "cfg", "compute_dtype", "use_pallas", "remat", "packed",
+        "flows_only",
+    ),
 )
 def _forward_jit(
     params: Params,
@@ -138,6 +152,8 @@ def _forward_jit(
     packed: bool = False,
     quant_stats: Optional[Dict[str, Dict[str, jnp.ndarray]]] = None,
     packed_params: Optional[Dict[str, Dict[str, dict]]] = None,
+    flows: Optional[jnp.ndarray] = None,
+    flows_only: bool = False,
 ) -> jnp.ndarray:
     """Interpolate the frame at time t between i0 and i1.
 
@@ -164,8 +180,15 @@ def _forward_jit(
       packed_params: per-UNet weight-side kernel constants from
         :func:`prepare_packed_params` — skips rebuilding B2/bias/scale
         tensors inside the jitted frame (prepare once, serve many).
+      flows: optional precomputed coarse flow-UNet output (B, H, W, 4)
+        from a ``flows_only=True`` call on the SAME (i0, i1) — skips the
+        (t-independent) flow U-Net so one pair interpolated at m times
+        pays it once (pipeline._step_body). Same math as recomputing
+        (see the _cascade step-1 note on bf16 ulp reassociation).
+      flows_only: run ONLY the t-independent flow U-Net and return its
+        (B, H, W, 4) float32 output instead of the interpolated frame.
 
-    Returns (B, H, W, 3) float32 frame in [0, 1].
+    Returns (B, H, W, 3) float32 frame in [0, 1] (or flows, see above).
     """
     if i0.shape[-3] % cfg.pad_multiple or i0.shape[-2] % cfg.pad_multiple:
         raise ValueError(
@@ -242,8 +265,11 @@ def _forward_jit(
             ).astype(f32)
         return apply_fn(params[name], x, cfg).astype(f32)
 
+    if flows_only:
+        return run_unet("flow", i0f, i1f)
     return _cascade(
-        run_unet, i0f, i1f, tb, cfg, use_pallas, pairs=_warp_pairs_mode(cd)
+        run_unet, i0f, i1f, tb, cfg, use_pallas, pairs=_warp_pairs_mode(cd),
+        flows=None if flows is None else flows.astype(f32),
     )
 
 
@@ -259,6 +285,8 @@ def forward(
     packed: bool = False,
     quant_stats: Optional[Dict[str, Dict[str, jnp.ndarray]]] = None,
     packed_params: Optional[Dict[str, Dict[str, dict]]] = None,
+    flows: Optional[jnp.ndarray] = None,
+    flows_only: bool = False,
 ) -> jnp.ndarray:
     """See :func:`_forward_jit` (this is a thin eager wrapper around it).
 
@@ -284,6 +312,7 @@ def forward(
         params, i0, i1, t, cfg=cfg, compute_dtype=compute_dtype,
         use_pallas=use_pallas, remat=remat, packed=packed,
         quant_stats=quant_stats, packed_params=packed_params,
+        flows=flows, flows_only=flows_only,
     )
 
 

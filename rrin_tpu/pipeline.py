@@ -103,23 +103,33 @@ def _step_body(
         packed_params=packed_params,
     )
 
+    def _run_times(tr: jnp.ndarray, m: int) -> jnp.ndarray:
+        """All m times of every pair in one maximal-batch forward,
+        pair-major. The coarse flow U-Net is t-INDEPENDENT (SURVEY App-A
+        step 1: flows = f(i0, i1)), so for m > 1 it runs ONCE per pair
+        (``flows_only``) and the repeated result feeds the m per-time
+        cascades — ~1/4 of the U-Net compute and one entry pack per extra
+        time saved; same math (see models/rrin._cascade: exact in
+        f32/int8, <=1 u8 rounding step on isolated pixels in bf16)."""
+        if m == 1:
+            return run(i0, i1, tr)
+        fl = jnp.repeat(run(i0, i1, 0.5, flows_only=True), m, axis=0)
+        i0r = jnp.repeat(i0, m, axis=0)  # (B*m, H, W, 3), pair-major
+        i1r = jnp.repeat(i1, m, axis=0)
+        return run(i0r, i1r, tr, flows=fl)
+
     if mode == "times":
         # Per-pair runtime times: ts is (B, m) traced, pair-major like the
         # direct expansion (host drops any padded slots).
         assert ts is not None and ts.ndim == 2 and ts.shape[0] == b, ts
         m = ts.shape[1]
-        i0r = jnp.repeat(i0, m, axis=0)
-        i1r = jnp.repeat(i1, m, axis=0)
         tr = ts.astype(jnp.float32).reshape(-1)
-        mids = run(i0r, i1r, tr).reshape(b, m, i0.shape[1], i0.shape[2], 3)
+        mids = _run_times(tr, m).reshape(b, m, i0.shape[1], i0.shape[2], 3)
     elif mode == "direct" or exp == 1:
-        # All m times in one maximal-batch forward: replicate pairs m times,
-        # pair j gets t = (j+1)/2^exp. Best MXU utilization.
+        # Pair j gets t = (j+1)/2^exp. Best MXU utilization.
         tg = jnp.arange(1, m + 1, dtype=jnp.float32) / (1 << exp)
-        i0r = jnp.repeat(i0, m, axis=0)  # (B*m, H, W, 3), pair-major
-        i1r = jnp.repeat(i1, m, axis=0)
         tr = jnp.tile(tg, (b,))
-        mids = run(i0r, i1r, tr).reshape(b, m, i0.shape[1], i0.shape[2], 3)
+        mids = _run_times(tr, m).reshape(b, m, i0.shape[1], i0.shape[2], 3)
     elif mode == "cascade":
         # Reference-compatible midpoint recursion (SURVEY.md §3.2 [B:10]):
         # level l interpolates midpoints of all 2^l consecutive pairs, in

@@ -1,0 +1,148 @@
+"""Shared-flows multi-time forward (models/rrin flows/flows_only;
+pipeline._step_body._run_times).
+
+SURVEY.md App-A step 1: the coarse flow U-Net consumes only (I0, I1) — no
+t — so one pair interpolated at m times can compute it ONCE and feed the
+m per-time cascades. These tests pin that the reuse is exactly the same
+math on the plain float path, the packed fast path, and int8: flow-UNet
+outputs are deterministic per (program, inputs), so sharing must be
+bit-identical, not merely close.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rrin_tpu.config import ModelConfig
+from rrin_tpu.models.rrin import forward, init_params
+from rrin_tpu.pipeline import device_step
+
+CFG = ModelConfig()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.key(7), CFG)
+
+
+@pytest.fixture(scope="module")
+def frames(rng):
+    i0 = jnp.asarray(rng.random((2, 48, 64, 3), dtype=np.float32))
+    i1 = jnp.asarray(rng.random((2, 48, 64, 3), dtype=np.float32))
+    return i0, i1
+
+
+class TestForwardFlowsArg:
+    def test_flows_only_shape_dtype(self, params, frames):
+        i0, i1 = frames
+        fl = forward(params, i0, i1, 0.5, cfg=CFG, flows_only=True)
+        assert fl.shape == (2, 48, 64, 4)
+        assert fl.dtype == jnp.float32
+
+    @pytest.mark.parametrize("packed", [False, True])
+    def test_roundtrip_bit_identical(self, params, frames, packed):
+        """forward(flows=forward(flows_only)) == forward() exactly."""
+        i0, i1 = frames
+        kw = dict(cfg=CFG, compute_dtype=jnp.float32, packed=packed,
+                  use_pallas=packed)
+        fl = forward(params, i0, i1, 0.5, flows_only=True, **kw)
+        want = np.asarray(forward(params, i0, i1, 0.3, **kw))
+        got = np.asarray(forward(params, i0, i1, 0.3, flows=fl, **kw))
+        np.testing.assert_array_equal(got, want)
+
+    def test_roundtrip_int8(self, params, frames):
+        from rrin_tpu.models.rrin import forward_calibrate
+
+        i0, i1 = frames
+        kw = dict(cfg=CFG, compute_dtype=jnp.float32, packed=True,
+                  use_pallas=True)
+        _, stats = forward_calibrate(params, i0, i1, 0.5, cfg=CFG,
+                                     compute_dtype=jnp.float32)
+        fl = forward(params, i0, i1, 0.5, flows_only=True,
+                     quant_stats=stats, **kw)
+        want = np.asarray(
+            forward(params, i0, i1, 0.25, quant_stats=stats, **kw))
+        got = np.asarray(
+            forward(params, i0, i1, 0.25, flows=fl, quant_stats=stats,
+                    **kw))
+        np.testing.assert_array_equal(got, want)
+
+    def test_flows_only_matches_cascade_stage1(self, params, frames):
+        """flows_only returns exactly what the full cascade's step 1
+        computes: interpolating with flows=that must equal plain forward
+        (covered above); here pin the tensor itself against the plain
+        U-Net applied to concat(i0, i1)."""
+        from rrin_tpu.models.unet import unet_apply
+
+        i0, i1 = frames
+        fl = forward(params, i0, i1, 0.5, cfg=CFG, flows_only=True)
+        want = unet_apply(
+            params["flow"], jnp.concatenate([i0, i1], axis=-1), CFG)
+        np.testing.assert_array_equal(
+            np.asarray(fl), np.asarray(want.astype(jnp.float32)))
+
+
+class TestDeviceStepSharedFlows:
+    """m > 1 device steps now share the flow U-Net per pair; outputs must
+    stay bit-identical to the per-time forwards they batch."""
+
+    def _per_t_reference(self, params, pairs, t_list, **kw):
+        x = jnp.asarray(pairs, jnp.float32) / 255.0
+        outs = []
+        for t in t_list:
+            o = forward(params, x[:, 0], x[:, 1], t, cfg=CFG, **kw)
+            outs.append(jnp.round(jnp.clip(o, 0, 1) * 255).astype(
+                jnp.uint8))
+        return np.stack([np.asarray(o) for o in outs], axis=1)
+
+    @pytest.mark.parametrize("compute_dtype", [jnp.float32, jnp.bfloat16])
+    def test_direct_exp2(self, params, rng, compute_dtype):
+        pairs = rng.integers(0, 256, (2, 2, 48, 64, 3), dtype=np.uint8)
+        out = np.asarray(device_step(
+            params, jnp.asarray(pairs), exp=2, mode="direct", cfg=CFG,
+            compute_dtype=compute_dtype, pad_hw=(0, 0)))
+        want = self._per_t_reference(
+            params, pairs, [0.25, 0.5, 0.75], compute_dtype=compute_dtype)
+        assert out.shape == (2, 3, 48, 64, 3)
+        if compute_dtype == jnp.float32:
+            np.testing.assert_array_equal(out, want)
+        else:
+            # bf16: XLA may re-block the batch-B flow U-Net differently
+            # from the batch-B*m cascades it feeds — ulp-level conv
+            # reassociation that the *255-round amplifies to at most one
+            # u8 step on isolated rounding-boundary pixels (measured
+            # 2 / 55296 here). Same math, not a tolerance for drift.
+            diff = np.abs(out.astype(np.int16) - want.astype(np.int16))
+            assert diff.max() <= 1, diff.max()
+            assert (diff != 0).mean() < 1e-3, (diff != 0).mean()
+
+    def test_times_mode(self, params, rng):
+        pairs = rng.integers(0, 256, (1, 2, 48, 64, 3), dtype=np.uint8)
+        ts = jnp.asarray([[0.2, 0.5, 0.9]], jnp.float32)
+        out = np.asarray(device_step(
+            params, jnp.asarray(pairs), mode="times", cfg=CFG,
+            compute_dtype=jnp.float32, pad_hw=(0, 0), ts=ts))
+        want = self._per_t_reference(
+            params, pairs, [0.2, 0.5, 0.9], compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(out, want)
+
+    def test_direct_exp2_packed_int8(self, params, rng):
+        """The sharing composes with the packed fast path + int8 (CPU
+        routes the kernels to the exact-grid XLA fallback)."""
+        from rrin_tpu.pipeline import device_calibrate
+
+        pairs = rng.integers(0, 256, (1, 2, 48, 64, 3), dtype=np.uint8)
+        stats = device_calibrate(
+            params, jnp.asarray(pairs), cfg=CFG,
+            compute_dtype=jnp.float32, pad_hw=(0, 0))
+        kw = dict(cfg=CFG, compute_dtype=jnp.float32, use_pallas=True,
+                  packed=True)
+        out = np.asarray(device_step(
+            params, jnp.asarray(pairs), exp=2, mode="direct",
+            pad_hw=(0, 0), quant_stats=stats, **kw))
+        want = self._per_t_reference(
+            params, pairs, [0.25, 0.5, 0.75],
+            compute_dtype=jnp.float32, use_pallas=True, packed=True,
+            quant_stats=stats)
+        np.testing.assert_array_equal(out, want)
