@@ -411,6 +411,85 @@ def run_bench(size: str = "1080p", iters: int = 10, batch: int = 1,
     return r
 
 
+def run_bench_exp(size: str, iters: int, exp: int, int8: bool = False,
+                  use_pallas: bool = True, warmup: int = 2) -> dict:
+    """Multi-frame direct-mode throughput: one device_step interpolates
+    each pair at all m = 2^exp - 1 times (the CLI --exp path; retime and
+    slowmo batch the same way via times mode). Measures MID-frames per
+    second per chip — m outputs per step. The t-independent flow U-Net is
+    computed once per pair and shared across the m times
+    (docs/PERFORMANCE.md "Multi-frame interpolation"; RRIN_SHARE_FLOWS=0
+    reverts to recomputing it per time for A/B runs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rrin_tpu.config import ModelConfig
+    from rrin_tpu.models.rrin import (
+        init_params, prepare_packed_params, scale_quant_stats,
+    )
+    from rrin_tpu.models.unet import packed_supported
+    from rrin_tpu.pipeline import device_calibrate, device_step
+
+    cfg = ModelConfig()
+    params = init_params(jax.random.key(0), cfg)
+    h, w = SIZES[size]
+    m = (1 << exp) - 1
+    rng = np.random.default_rng(0)
+    pairs = jnp.asarray(
+        rng.integers(0, 256, (1, 2, h, w, 3), dtype=np.uint8))
+
+    quant_stats = None
+    if int8:
+        stats = device_calibrate(
+            params, pairs, cfg=cfg, compute_dtype=jnp.bfloat16,
+            pad_hw=(0, 0))
+        quant_stats = scale_quant_stats(stats, 1.2)
+    pp = None
+    if (use_pallas or int8) and packed_supported(h, w, cfg):
+        pp = prepare_packed_params(
+            params, cfg, jnp.bfloat16, quant_stats=quant_stats, hw=(h, w))
+
+    def step(prs):
+        return device_step(
+            params, prs, exp=exp, mode="direct", cfg=cfg,
+            compute_dtype=jnp.bfloat16, use_pallas=use_pallas,
+            pad_hw=(0, 0), packed=use_pallas or int8,
+            quant_stats=quant_stats, packed_params=pp)
+
+    t0 = time.perf_counter()
+    out = step(pairs)  # (1, m, h, w, 3) uint8
+    _ = np.asarray(out[0, 0, 0, 0, 0])
+    compile_s = time.perf_counter() - t0
+    for _ in range(warmup - 1):
+        _ = np.asarray(step(pairs)[0, 0, 0, 0, 0])
+
+    # Dependency chain: the next step's pair is built from the previous
+    # step's first/last mid frames (device-side, no D2H).
+    cur = pairs
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = step(cur)
+        cur = jnp.stack([o[:, 0], o[:, -1]], axis=1)
+    _ = np.asarray(cur[0, 0, 0, 0, 0])
+    dt = (time.perf_counter() - t0) / iters
+
+    shared = os.environ.get("RRIN_SHARE_FLOWS", "1") == "1"
+    return {
+        "metric": f"{size}_exp{exp}_mid_fps_per_chip"
+                  + ("_int8" if int8 else ""),
+        "value": round(m / dt, 3),
+        "unit": "frames/sec",
+        "vs_baseline": None,
+        "detail": {
+            "ms_per_step": round(dt * 1e3, 2),
+            "mid_frames_per_step": m,
+            "flow_unet_shared": shared,
+            "compile_plus_load_seconds": round(compile_s, 1),
+            "backend": jax.default_backend(),
+        },
+    }
+
+
 def _bench_4k_row(budget_s: float) -> dict:
     """BASELINE.json config 5 regression guard: one 4K int8 measurement,
     isolated in a subprocess so a 4K-specific hang/crash (its one-time
@@ -474,6 +553,10 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--exp", type=int, default=1,
+                   help="multi-frame mode: interpolate each pair at all "
+                   "2^exp - 1 times in one device step (metric becomes "
+                   "*_exp{k}_mid_fps_per_chip; implies --skip-extras)")
     p.add_argument("--int8", action="store_true",
                    help="measure the calibrated int8 packed path (the "
                    "headline metric becomes *_int8; detail carries the "
@@ -528,6 +611,16 @@ def _run(args, done, deadline=None) -> int:
             done.set()
         return 0
 
+    if args.exp > 1:
+        r = run_bench_exp(args.size, max(args.iters, 10), args.exp,
+                          int8=args.int8, use_pallas=not args.no_pallas)
+        # detail is small and carries the A/B-relevant fields
+        # (flow_unet_shared, ms_per_step) — keep it on the one line
+        print(json.dumps(r, indent=2 if args.full_json else None))
+        if done is not None:
+            done.set()
+        return 0
+
     # Floor the headline loop at 20 iters: the round-3 reconciliation
     # established that short loops sit inside the tunnel's run-to-run
     # jitter (11.1 vs 11.7 fps ~5% spread at --iters 10; VERDICT r3 #6).
@@ -571,6 +664,11 @@ def _run(args, done, deadline=None) -> int:
             r["detail"]["720p_int8_vs_bf16_psnr_db"] = (
                 s7i["detail"]["int8_vs_bf16_psnr_db"]
             )
+            # Multi-frame mode (--exp 2 / retime class): regression-guards
+            # the shared-flow-UNet batching of pipeline._run_times.
+            s7m = run_bench_exp("720p", max(args.iters, 10), 2, int8=True,
+                                use_pallas=not args.no_pallas)
+            r["detail"]["720p_exp2_mid_fps_per_chip_int8"] = s7m["value"]
         # SURVEY.md §4: kernel parity ON DEVICE, recorded as an artifact.
         r["detail"]["selfcheck"] = run_selfcheck()
         if args.size == "1080p":

@@ -77,6 +77,36 @@ RUNS = [
     ("4k_bf16_packed_wide",
      ["--size", "4k", "--iters", "8", "--skip-extras"],
      {"RRIN_BF16_M0_MAX": "1000"}, 3600),
+    # -- planar-blend glue (round-4 addition; RRIN_PLANAR_BLEND skips the
+    #    Pallas warps' planar->NHWC output transposes and runs the blend
+    #    in planes — pure layout, bit-identical; tests/test_warp_pallas
+    #    TestPlanarOut) --
+    ("planar_off_1080p_int8",
+     ["--size", "1080p", "--iters", "30", "--int8", "--skip-extras"],
+     {"RRIN_PLANAR_BLEND": "0"}, 2400),
+    ("planar_on_1080p_int8",
+     ["--size", "1080p", "--iters", "30", "--int8", "--skip-extras"],
+     {"RRIN_PLANAR_BLEND": "1"}, 2400),
+    ("planar_off_1080p_bf16",
+     ["--size", "1080p", "--iters", "30", "--skip-extras"],
+     {"RRIN_PLANAR_BLEND": "0"}, 2400),
+    ("planar_on_1080p_bf16",
+     ["--size", "1080p", "--iters", "30", "--skip-extras"],
+     {"RRIN_PLANAR_BLEND": "1"}, 2400),
+    # -- multi-frame flow-UNet sharing (round-4 addition; the shared
+    #    flow U-Net of pipeline._run_times vs recomputing it per time) --
+    ("mf_share_off_720p_exp2_int8",
+     ["--size", "720p", "--iters", "15", "--exp", "2", "--int8"],
+     {"RRIN_SHARE_FLOWS": "0"}, 2400),
+    ("mf_share_on_720p_exp2_int8",
+     ["--size", "720p", "--iters", "15", "--exp", "2", "--int8"],
+     {}, 2400),
+    ("mf_share_off_1080p_exp2_int8",
+     ["--size", "1080p", "--iters", "12", "--exp", "2", "--int8"],
+     {"RRIN_SHARE_FLOWS": "0"}, 2400),
+    ("mf_share_on_1080p_exp2_int8",
+     ["--size", "1080p", "--iters", "12", "--exp", "2", "--int8"],
+     {}, 2400),
 ]
 
 

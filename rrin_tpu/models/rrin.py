@@ -46,6 +46,12 @@ Params = Dict[str, Any]
 # already-compiled forwards).
 _WARP_U8 = os.environ.get("RRIN_WARP_U8", "1") == "1"
 
+# Planar-blend glue experiment (default OFF until its TPU A/B lands): the
+# Pallas warps return (B, C, H, W) planes — skipping their output
+# transposes — and the blend runs planar; `coarse` transposes back once.
+# Exact same math (pure layout); only active on the use_pallas path.
+_PLANAR_BLEND = os.environ.get("RRIN_PLANAR_BLEND", "0") == "1"
+
 
 def _warp_pairs_mode(cd):
     if cd != jnp.bfloat16:
@@ -117,16 +123,31 @@ def _cascade(
     # 4. backward bilinear warp of both frames (fp32 accumulation; the
     # bf16 compute path uses the channel-paired gather variant — 2/3 the
     # gathers and window bytes at bf16-input-rounding quality cost)
+    planar = use_pallas and _PLANAR_BLEND
     g0, g1 = warp_pair(
         i0f, i1f, ft0, ft1, align_corners=cfg.align_corners,
-        use_pallas=use_pallas, pairs=pairs,
+        use_pallas=use_pallas, pairs=pairs, planar_out=planar,
     )
 
-    # 5. adaptive weight map + normalized blend (fp32)
-    m = jax.nn.sigmoid(run_unet("mask", ft0, ft1, i0f, i1f, g0, g1))
-    w0 = (1.0 - tb) * m[..., 0:1]
-    w1 = tb * m[..., 1:2]
-    coarse = (w0 * g0 + w1 * g1) / (w0 + w1 + cfg.blend_eps)
+    # 5. adaptive weight map + normalized blend (fp32). Under
+    # RRIN_PLANAR_BLEND the Pallas warps return (B, C, H, W) planes (no
+    # output transpose — the kernel computes in planes) and the blend
+    # runs planar; only `coarse` transposes back to NHWC for the final
+    # entry/residual. Same math either way (pure data layout).
+    if planar:
+        g0n, g1n = jnp.moveaxis(g0, 1, -1), jnp.moveaxis(g1, 1, -1)
+    else:
+        g0n, g1n = g0, g1
+    m = jax.nn.sigmoid(run_unet("mask", ft0, ft1, i0f, i1f, g0n, g1n))
+    if planar:
+        w0 = jnp.moveaxis((1.0 - tb) * m[..., 0:1], -1, 1)  # (B,1,H,W)
+        w1 = jnp.moveaxis(tb * m[..., 1:2], -1, 1)
+        coarse = jnp.moveaxis(
+            (w0 * g0 + w1 * g1) / (w0 + w1 + cfg.blend_eps), 1, -1)
+    else:
+        w0 = (1.0 - tb) * m[..., 0:1]
+        w1 = tb * m[..., 1:2]
+        coarse = (w0 * g0 + w1 * g1) / (w0 + w1 + cfg.blend_eps)
 
     # 6. residue refinement
     out = coarse + run_unet("final", i0f, i1f, coarse)

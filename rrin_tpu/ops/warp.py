@@ -106,6 +106,7 @@ def warp_pair(
     align_corners: bool = False,
     use_pallas: bool = False,
     pairs: bool = False,
+    planar_out: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Warp both source frames toward time t in one fused pass.
 
@@ -115,7 +116,9 @@ def warp_pair(
     ``use_pallas`` selects the Pallas gather-interpolate kernel that
     computes both warps in a single VMEM-resident pass (BASELINE.json
     north_star); the downstream adaptive blend is elementwise and XLA fuses
-    it into the surrounding graph for free.
+    it into the surrounding graph for free. ``planar_out`` returns
+    (B, C, H, W) planes — the Pallas kernel computes in planes, so this
+    skips its output transpose (models/rrin planar-blend glue).
     """
     if use_pallas:
         try:
@@ -125,10 +128,13 @@ def warp_pair(
         if warp_pair_pallas is not None:
             return warp_pair_pallas(
                 i0, i1, flow_t0, flow_t1, align_corners=align_corners,
-                pairs=pairs,
+                pairs=pairs, planar_out=planar_out,
             )
     g0 = warp_bilinear(i0, flow_t0, align_corners=align_corners)
     g1 = warp_bilinear(i1, flow_t1, align_corners=align_corners)
+    if planar_out:
+        g0 = jnp.moveaxis(g0, -1, 1)
+        g1 = jnp.moveaxis(g1, -1, 1)
     return g0, g1
 
 

@@ -520,10 +520,10 @@ def _fast_path_ok(sy: jnp.ndarray, sx: jnp.ndarray, height: int) -> jnp.ndarray:
     return jnp.logical_and(_dy_fast_path_ok(sy, height), dx_ok)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def warp_one_pallas(
     img: jnp.ndarray, flow: jnp.ndarray, align_corners: bool = False,
-    pairs=False,
+    pairs=False, planar_out: bool = False,
 ) -> jnp.ndarray:
     """Warp (B,H,W,C=3) by (B,H,W,2): Pallas fast path + XLA fallback.
 
@@ -538,24 +538,35 @@ def warp_one_pallas(
     half the pairs variant's window bytes) — EXACT when the source is
     u8-derived (frames normalized as u8 * (1/255)), 8-bit quantizing
     otherwise. See _warp_kernel_u8.
+
+    ``planar_out=True`` returns (B, C, H, W) instead of NHWC — the fast
+    branch then skips its planar->NHWC transpose entirely (the kernel
+    computes in planes); downstream planar glue (models/rrin._cascade
+    under RRIN_PLANAR_BLEND) consumes the planes directly.
     """
     b, h, w, c = img.shape
     if c != 3 or h % RB or h < 32:
-        return warp_bilinear(img, flow, align_corners=align_corners)
+        out = warp_bilinear(img, flow, align_corners=align_corners)
+        return jnp.moveaxis(out, -1, 1) if planar_out else out
     if not _FORCE_KERNEL:  # interpret-mode tests on CPU force the kernel
         # The Mosaic kernel only lowers for TPU; select per PLATFORM at
         # lowering time (not by the process default backend).
+        def _default(a, b_):
+            out = warp_bilinear(a, b_, align_corners=align_corners)
+            return jnp.moveaxis(out, -1, 1) if planar_out else out
+
         return jax.lax.platform_dependent(
             img, flow,
-            tpu=lambda a, b_: _warp_one_tpu(a, b_, align_corners, pairs),
-            default=lambda a, b_: warp_bilinear(a, b_, align_corners=align_corners),
+            tpu=lambda a, b_: _warp_one_tpu(
+                a, b_, align_corners, pairs, planar_out),
+            default=_default,
         )
-    return _warp_one_tpu(img, flow, align_corners, pairs)
+    return _warp_one_tpu(img, flow, align_corners, pairs, planar_out)
 
 
 def _warp_one_tpu(
     img: jnp.ndarray, flow: jnp.ndarray, align_corners: bool,
-    pairs=False,
+    pairs=False, planar_out: bool = False,
 ) -> jnp.ndarray:
     b, h, w, c = img.shape
 
@@ -603,6 +614,8 @@ def _warp_one_tpu(
             out_p = _warp_planar_pallas_pairs(img_planar, sx, sy, align_corners)
         else:
             out_p = _warp_planar_pallas(img_planar, sx, sy, align_corners)
+        if planar_out:  # (B, C, H, W): no transpose at all
+            return out_p[:, :, :, :w]
         out = jnp.transpose(out_p, (0, 2, 3, 1))
         return out[:, :, :w, :]
 
@@ -615,7 +628,8 @@ def _warp_one_tpu(
             src = img.astype(jnp.bfloat16).astype(jnp.float32)
         else:
             src = img
-        return warp_bilinear(src, flow, align_corners=align_corners)
+        out = warp_bilinear(src, flow, align_corners=align_corners)
+        return jnp.moveaxis(out, -1, 1) if planar_out else out
 
     return jax.lax.cond(
         _fast_path_ok(sy[:, :, :w], sx[:, :, :w], h), fast, slow,
@@ -623,12 +637,15 @@ def _warp_one_tpu(
     )
 
 
-def _warp_one_fwd(img, flow, align_corners, pairs):
-    return warp_one_pallas(img, flow, align_corners, pairs), (img, flow)
+def _warp_one_fwd(img, flow, align_corners, pairs, planar_out):
+    return (warp_one_pallas(img, flow, align_corners, pairs, planar_out),
+            (img, flow))
 
 
-def _warp_one_bwd(align_corners, pairs, res, g):
+def _warp_one_bwd(align_corners, pairs, planar_out, res, g):
     img, flow = res
+    if planar_out:  # cotangent arrives planar; the primal math is NHWC
+        g = jnp.moveaxis(g, 1, -1)
     _, vjp = jax.vjp(
         lambda im, fl: warp_bilinear(im, fl, align_corners=align_corners),
         img, flow,
@@ -646,11 +663,13 @@ def warp_pair_pallas(
     flow_t1: jnp.ndarray,
     align_corners: bool = False,
     pairs=False,
+    planar_out: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Both warps of the cascade through the Pallas kernel.
 
     ``pairs``: False (f32 planes), True (bf16 channel pairs), or "u8"
-    (byte-packed single plane — exact for u8-derived sources)."""
-    g0 = warp_one_pallas(i0, flow_t0, align_corners, pairs)
-    g1 = warp_one_pallas(i1, flow_t1, align_corners, pairs)
+    (byte-packed single plane — exact for u8-derived sources).
+    ``planar_out``: return (B, C, H, W) planes (see warp_one_pallas)."""
+    g0 = warp_one_pallas(i0, flow_t0, align_corners, pairs, planar_out)
+    g1 = warp_one_pallas(i1, flow_t1, align_corners, pairs, planar_out)
     return g0, g1

@@ -24,6 +24,7 @@ from __future__ import annotations
 import collections
 import fractions
 import json
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -110,9 +111,13 @@ def _step_body(
         (``flows_only``) and the repeated result feeds the m per-time
         cascades — ~1/4 of the U-Net compute and one entry pack per extra
         time saved; same math (see models/rrin._cascade: exact in
-        f32/int8, <=1 u8 rounding step on isolated pixels in bf16)."""
-        if m == 1:
-            return run(i0, i1, tr)
+        f32/int8, <=1 u8 rounding step on isolated pixels in bf16).
+        RRIN_SHARE_FLOWS=0 reverts to recomputing per time (A/B valve,
+        benchmarks/ab_r4.py style)."""
+        if m == 1 or os.environ.get("RRIN_SHARE_FLOWS", "1") != "1":
+            i0r = jnp.repeat(i0, m, axis=0)
+            i1r = jnp.repeat(i1, m, axis=0)
+            return run(i0r, i1r, tr)
         fl = jnp.repeat(run(i0, i1, 0.5, flows_only=True), m, axis=0)
         i0r = jnp.repeat(i0, m, axis=0)  # (B*m, H, W, 3), pair-major
         i1r = jnp.repeat(i1, m, axis=0)

@@ -50,3 +50,30 @@ class TestBenchJsonContract:
         d = json.loads(buf.getvalue().strip())
         assert rc == 0
         assert d["selfcheck"].get("skipped") is True  # CPU under pytest
+
+    def test_exp_mode_prints_one_json_line(self, monkeypatch):
+        """--exp 2 (multi-frame mode) keeps the one-JSON-line contract
+        and reports the shared-flow-UNet metric (pipeline._run_times)."""
+        bench = _load_bench()
+
+        monkeypatch.setattr(
+            sys, "argv",
+            ["bench.py", "--size", "vimeo", "--exp", "2", "--int8",
+             "--iters", "1", "--watchdog", "0"],
+        )
+        # keep the CPU run fast: 1 timed iter (main floors at 10) and 1
+        # warmup step instead of 2
+        orig = bench.run_bench_exp
+        monkeypatch.setattr(
+            bench, "run_bench_exp",
+            lambda size, iters, exp, **k: orig(
+                size, 1, exp, **{**k, "warmup": 1}),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = bench.main()
+        lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+        assert rc == 0 and len(lines) == 1, (rc, lines)
+        d = json.loads(lines[0])
+        assert d["metric"] == "vimeo_exp2_mid_fps_per_chip_int8"
+        assert d["value"] > 0

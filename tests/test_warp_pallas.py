@@ -302,3 +302,60 @@ class TestWarpU8ModelGate:
         mse = float(np.mean((got - want) ** 2))
         psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
         assert psnr > 45.0, psnr
+
+
+class TestPlanarOut:
+    """planar_out returns (B, C, H, W) with identical values (the kernel
+    computes in planes; the flag only skips/relocates the transpose)."""
+
+    def test_kernel_planar_matches_nhwc(self, case):
+        from rrin_tpu.ops import warp_pallas as wp
+
+        img, flow = case()
+        wp._FORCE_KERNEL = True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                nhwc = np.asarray(warp_one_pallas(
+                    jnp.asarray(img), jnp.asarray(flow), False, "u8"))
+                plnr = np.asarray(warp_one_pallas(
+                    jnp.asarray(img), jnp.asarray(flow), False, "u8", True))
+        finally:
+            wp._FORCE_KERNEL = False
+        assert plnr.shape == (img.shape[0], 3, img.shape[1], img.shape[2])
+        np.testing.assert_array_equal(np.moveaxis(plnr, 1, -1), nhwc)
+
+    def test_fallback_planar_matches_nhwc(self, case):
+        # tiny H routes to the pure-XLA fallback before any cond
+        img, flow = case(h=16)
+        nhwc = np.asarray(warp_one_pallas(
+            jnp.asarray(img), jnp.asarray(flow), False, False))
+        plnr = np.asarray(warp_one_pallas(
+            jnp.asarray(img), jnp.asarray(flow), False, False, True))
+        np.testing.assert_array_equal(np.moveaxis(plnr, 1, -1), nhwc)
+
+    def test_cascade_planar_blend_bit_identical(self, rng):
+        """RRIN_PLANAR_BLEND glue (models/rrin._cascade) is pure layout:
+        forward output must be bit-identical with the flag on."""
+        import jax
+
+        from rrin_tpu.config import ModelConfig
+        from rrin_tpu.models import rrin
+
+        cfg = ModelConfig()
+        params = rrin.init_params(jax.random.key(3), cfg)
+        i0 = jnp.asarray(rng.random((1, 48, 64, 3), dtype=np.float32))
+        i1 = jnp.asarray(rng.random((1, 48, 64, 3), dtype=np.float32))
+        kw = dict(cfg=cfg, compute_dtype=jnp.float32, use_pallas=True,
+                  packed=True)
+        want = np.asarray(rrin.forward(params, i0, i1, 0.4, **kw))
+        old = rrin._PLANAR_BLEND
+        rrin._PLANAR_BLEND = True
+        # the flag is read at trace time — drop the cached trace so the
+        # planar glue actually compiles
+        rrin._forward_jit.clear_cache()
+        try:
+            got = np.asarray(rrin.forward(params, i0, i1, 0.4, **kw))
+        finally:
+            rrin._PLANAR_BLEND = old
+            rrin._forward_jit.clear_cache()
+        np.testing.assert_array_equal(got, want)
