@@ -52,6 +52,14 @@ _WARP_U8 = os.environ.get("RRIN_WARP_U8", "1") == "1"
 # Exact same math (pure layout); only active on the use_pallas path.
 _PLANAR_BLEND = os.environ.get("RRIN_PLANAR_BLEND", "0") == "1"
 
+# Entry-operand grouping (models/rrin._cascade step 3): carry I0 ∥ I1 and
+# the refined Ft0 ∥ Ft1 as single tensors so no U-Net entry concatenates
+# more than 4 operands — XLA fuses those into the entry's clamp_convert
+# pass, where the mask entry's 6-operand concat materialized (~0.5 ms/
+# frame at 1080p int8). Bit-identical math (pure regrouping of the same
+# values). RRIN_ENTRY_GROUPS=0 reverts (A/B valve, read at import).
+_ENTRY_GROUPS = os.environ.get("RRIN_ENTRY_GROUPS", "1") == "1"
+
 
 def _warp_pairs_mode(cd):
     if cd != jnp.bfloat16:
@@ -115,10 +123,23 @@ def _cascade(
     ft0 = -(1.0 - tb) * tb * f01 + tb * tb * f10
     ft1 = (1.0 - tb) * (1.0 - tb) * f01 - tb * (1.0 - tb) * f10
 
-    # 3. residual flow refinement
-    res = run_unet("refine", ft0, ft1, i0f, i1f)
-    ft0 = ft0 + res[..., :2]
-    ft1 = ft1 + res[..., 2:]
+    # 3. residual flow refinement. Entry-operand grouping (glue-level,
+    # bit-identical): XLA fuses a <=4-operand entry's concat+pad+quantize
+    # into one clamp_convert pass but MATERIALIZES the mask entry's
+    # 6-operand concat (~0.5 ms/frame at 1080p int8 — docs/PERFORMANCE.md
+    # budget table). Carrying I0 ∥ I1 and the refined Ft0 ∥ Ft1 as single
+    # tensors keeps every entry at <=4 operands; the values are the exact
+    # same elementwise adds and the warp consumes bitwise-equal slices.
+    # RRIN_ENTRY_GROUPS=0 reverts to per-tensor operands (A/B valve).
+    if _ENTRY_GROUPS:
+        i01 = jnp.concatenate([i0f, i1f], axis=-1)
+        res = run_unet("refine", ft0, ft1, i01)
+        ftc = jnp.concatenate([ft0, ft1], axis=-1) + res
+        ft0, ft1 = ftc[..., :2], ftc[..., 2:]
+    else:
+        res = run_unet("refine", ft0, ft1, i0f, i1f)
+        ft0 = ft0 + res[..., :2]
+        ft1 = ft1 + res[..., 2:]
 
     # 4. backward bilinear warp of both frames (fp32 accumulation; the
     # bf16 compute path uses the channel-paired gather variant — 2/3 the
@@ -138,7 +159,10 @@ def _cascade(
         g0n, g1n = jnp.moveaxis(g0, 1, -1), jnp.moveaxis(g1, 1, -1)
     else:
         g0n, g1n = g0, g1
-    m = jax.nn.sigmoid(run_unet("mask", ft0, ft1, i0f, i1f, g0n, g1n))
+    if _ENTRY_GROUPS:
+        m = jax.nn.sigmoid(run_unet("mask", ftc, i01, g0n, g1n))
+    else:
+        m = jax.nn.sigmoid(run_unet("mask", ft0, ft1, i0f, i1f, g0n, g1n))
     if planar:
         w0 = jnp.moveaxis((1.0 - tb) * m[..., 0:1], -1, 1)  # (B,1,H,W)
         w1 = jnp.moveaxis(tb * m[..., 1:2], -1, 1)
@@ -150,7 +174,10 @@ def _cascade(
         coarse = (w0 * g0 + w1 * g1) / (w0 + w1 + cfg.blend_eps)
 
     # 6. residue refinement
-    out = coarse + run_unet("final", i0f, i1f, coarse)
+    if _ENTRY_GROUPS:
+        out = coarse + run_unet("final", i01, coarse)
+    else:
+        out = coarse + run_unet("final", i0f, i1f, coarse)
     return jnp.clip(out, 0.0, 1.0)
 
 
