@@ -104,37 +104,54 @@ def _step_body(
         packed_params=packed_params,
     )
 
-    def _run_times(tr: jnp.ndarray, m: int) -> jnp.ndarray:
-        """All m times of every pair in one maximal-batch forward,
-        pair-major. The coarse flow U-Net is t-INDEPENDENT (SURVEY App-A
-        step 1: flows = f(i0, i1)), so for m > 1 it runs ONCE per pair
-        (``flows_only``) and the repeated result feeds the m per-time
-        cascades — ~1/4 of the U-Net compute and one entry pack per extra
-        time saved; same math (see models/rrin._cascade: exact in
-        f32/int8, <=1 u8 rounding step on isolated pixels in bf16).
-        RRIN_SHARE_FLOWS=0 reverts to recomputing per time (A/B valve,
-        benchmarks/ab_r4.py style)."""
-        if m == 1 or os.environ.get("RRIN_SHARE_FLOWS", "1") != "1":
+    def _run_times(tm: jnp.ndarray) -> jnp.ndarray:
+        """Interpolate every pair at its (B, m) times ``tm`` -> (B, m, H,
+        W, 3) float mids.
+
+        The m times run SEQUENTIALLY at batch B inside one ``lax.scan``
+        (one compiled cascade body, m trips): large frames are measured
+        HBM-pressure-SLOWER above device batch 1 (docs/PERFORMANCE.md
+        "1080p batching"), so the previous single B*m-batch forward paid
+        ~4-5x per frame at 720p+ and its program alone took minutes to
+        load over the tunnel. The coarse flow U-Net is t-INDEPENDENT
+        (SURVEY App-A step 1: flows = f(i0, i1)), so it runs ONCE per
+        pair before the scan and the scan body closes over it — ~1/4 of
+        the U-Net compute per extra time saved; same math (see
+        models/rrin._cascade: exact in f32/int8, <=1 u8 rounding step on
+        isolated pixels in bf16). A/B valves (read at trace time):
+        RRIN_SHARE_FLOWS=0 recomputes flows per time inside the body;
+        RRIN_MF_SEQ=0 reverts to the legacy maximal-batch forward."""
+        m = tm.shape[1]
+        if m == 1:
+            return run(i0, i1, tm[:, 0])[:, None]
+        share = os.environ.get("RRIN_SHARE_FLOWS", "1") == "1"
+        if os.environ.get("RRIN_MF_SEQ", "1") != "1":
+            # Legacy round-4 path: one (B*m)-batch forward, pair-major.
+            tr = tm.reshape(-1)
             i0r = jnp.repeat(i0, m, axis=0)
             i1r = jnp.repeat(i1, m, axis=0)
-            return run(i0r, i1r, tr)
-        fl = jnp.repeat(run(i0, i1, 0.5, flows_only=True), m, axis=0)
-        i0r = jnp.repeat(i0, m, axis=0)  # (B*m, H, W, 3), pair-major
-        i1r = jnp.repeat(i1, m, axis=0)
-        return run(i0r, i1r, tr, flows=fl)
+            fl = (jnp.repeat(run(i0, i1, 0.5, flows_only=True), m, axis=0)
+                  if share else None)
+            out = run(i0r, i1r, tr, flows=fl)
+            return out.reshape(b, m, out.shape[1], out.shape[2], 3)
+        fl = run(i0, i1, 0.5, flows_only=True) if share else None
+
+        def body(carry, t_row):
+            return carry, run(i0, i1, t_row, flows=fl)
+
+        _, outs = jax.lax.scan(body, None, jnp.moveaxis(tm, 0, 1))
+        return jnp.moveaxis(outs, 0, 1)  # (m, B, ...) -> (B, m, ...)
 
     if mode == "times":
-        # Per-pair runtime times: ts is (B, m) traced, pair-major like the
-        # direct expansion (host drops any padded slots).
+        # Per-pair runtime times: ts is (B, m) traced (host drops any
+        # padded slots).
         assert ts is not None and ts.ndim == 2 and ts.shape[0] == b, ts
         m = ts.shape[1]
-        tr = ts.astype(jnp.float32).reshape(-1)
-        mids = _run_times(tr, m).reshape(b, m, i0.shape[1], i0.shape[2], 3)
+        mids = _run_times(ts.astype(jnp.float32))
     elif mode == "direct" or exp == 1:
-        # Pair j gets t = (j+1)/2^exp. Best MXU utilization.
+        # Pair j gets t = (j+1)/2^exp.
         tg = jnp.arange(1, m + 1, dtype=jnp.float32) / (1 << exp)
-        tr = jnp.tile(tg, (b,))
-        mids = _run_times(tr, m).reshape(b, m, i0.shape[1], i0.shape[2], 3)
+        mids = _run_times(jnp.broadcast_to(tg, (b, m)))
     elif mode == "cascade":
         # Reference-compatible midpoint recursion (SURVEY.md §3.2 [B:10]):
         # level l interpolates midpoints of all 2^l consecutive pairs, in
@@ -348,15 +365,16 @@ class Interpolator:
             raise ValueError(f"unknown mode: {mode!r}")
         if exp < 1:
             raise ValueError("exp must be >= 1")
-        if mode != "times" and exp >= 3:
+        if mode == "cascade" and exp >= 3:
             import warnings
 
-            n = (1 << (exp - 1)) if mode == "cascade" else (1 << exp) - 1
+            n = 1 << (exp - 1)
             warnings.warn(
-                f"exp={exp} ({mode} mode) runs up to {n}x-batch forwards "
+                f"exp={exp} (cascade mode) runs up to {n}x-batch forwards "
                 "per frame pair — large frames (1080p+) are measured "
                 "HBM-pressure-slower above device batch 1 "
-                "(docs/PERFORMANCE.md); expect sub-linear throughput",
+                "(docs/PERFORMANCE.md); direct mode runs the "
+                "2^exp - 1 times sequentially at batch B instead",
                 stacklevel=2,
             )
         if spatial < 1:

@@ -127,6 +127,25 @@ class TestDeviceStepSharedFlows:
             params, pairs, [0.2, 0.5, 0.9], compute_dtype=jnp.float32)
         np.testing.assert_array_equal(out, want)
 
+    def test_seq_matches_legacy_batched(self, params, rng, monkeypatch):
+        """RRIN_MF_SEQ=0 (the round-4 maximal-batch forward) and the
+        default sequential lax.scan produce identical f32 outputs — the
+        valve is an A/B knob, not a semantics switch. Env is read at
+        trace time, so the jit cache is cleared between flips."""
+        pairs = rng.integers(0, 256, (2, 2, 48, 64, 3), dtype=np.uint8)
+        kw = dict(exp=2, mode="direct", cfg=CFG,
+                  compute_dtype=jnp.float32, pad_hw=(0, 0))
+        out_seq = np.asarray(device_step(params, jnp.asarray(pairs), **kw))
+        monkeypatch.setenv("RRIN_MF_SEQ", "0")
+        device_step.clear_cache()
+        try:
+            out_leg = np.asarray(
+                device_step(params, jnp.asarray(pairs), **kw))
+        finally:
+            monkeypatch.undo()
+            device_step.clear_cache()
+        np.testing.assert_array_equal(out_seq, out_leg)
+
     def test_direct_exp2_packed_int8(self, params, rng):
         """The sharing composes with the packed fast path + int8 (CPU
         routes the kernels to the exact-grid XLA fallback)."""
