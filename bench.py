@@ -474,6 +474,7 @@ def run_bench_exp(size: str, iters: int, exp: int, int8: bool = False,
     dt = (time.perf_counter() - t0) / iters
 
     shared = os.environ.get("RRIN_SHARE_FLOWS", "1") == "1"
+    seq = os.environ.get("RRIN_MF_SEQ", "1") == "1"
     return {
         "metric": f"{size}_exp{exp}_mid_fps_per_chip"
                   + ("_int8" if int8 else ""),
@@ -484,6 +485,7 @@ def run_bench_exp(size: str, iters: int, exp: int, int8: bool = False,
             "ms_per_step": round(dt * 1e3, 2),
             "mid_frames_per_step": m,
             "flow_unet_shared": shared,
+            "mf_sequential": seq,
             "compile_plus_load_seconds": round(compile_s, 1),
             "backend": jax.default_backend(),
         },
@@ -521,11 +523,21 @@ def _bench_4k_row(budget_s: float) -> dict:
             f"{out.stderr.strip()[-300:]}"}
 
 
+# Best-so-far printable line, updated after the headline and each extra
+# row completes. If the watchdog fires mid-row it prints THIS instead of
+# an error — the round-4 lesson (BENCH_r04.json rc=124/parsed=null): the
+# artifact that matters is whatever has already been measured, and the
+# watchdog must fire well before any plausible driver timeout so a valid
+# line always lands.
+_PARTIAL: dict = {"line": None}
+
+
 def _arm_watchdog(seconds: float) -> "threading.Event":
-    """Emit a diagnosable JSON error line and hard-exit if the bench never
-    completes (a wedged TPU tunnel hangs device init indefinitely — seen
-    2026-08-17: even an (8,128) sum blocks for hours; without this the
-    driver records a silent hang instead of an artifact)."""
+    """Hard-exit with the best-so-far result line (or a diagnosable JSON
+    error if not even the headline finished) if the bench never completes
+    — a wedged TPU tunnel hangs device init indefinitely (seen
+    2026-08-17: even an (8,128) sum blocks for hours), and round 4 proved
+    the driver's own timeout SIGKILLs without recording anything."""
     import threading
 
     done = threading.Event()
@@ -533,6 +545,13 @@ def _arm_watchdog(seconds: float) -> "threading.Event":
     def fire():
         if done.wait(seconds):
             return
+        line = _PARTIAL.get("line")
+        if line is not None:
+            line.setdefault("detail", {})["watchdog_partial_after_s"] = (
+                round(seconds)
+            )
+            print(json.dumps(line), flush=True)
+            os._exit(0)
         print(json.dumps({
             "metric": "bench_error",
             "value": None,
@@ -569,16 +588,16 @@ def main() -> int:
     p.add_argument("--selfcheck-only", action="store_true",
                    help="run only the Mosaic-vs-XLA kernel parity gate")
     p.add_argument("--watchdog", type=float, default=None,
-                   help="hard-exit with a JSON error line if the bench "
-                   "has not finished after this many seconds (0 = off; "
-                   "default: BENCH_WATCHDOG_S env or 3600, doubled for "
-                   "--size 4k whose one-time program loads over the "
-                   "~30 MB/s tunnel can dominate)")
+                   help="hard-exit printing the best-so-far JSON line "
+                   "if the bench has not finished after this many seconds "
+                   "(0 = off; default: BENCH_WATCHDOG_S env or 1800 — "
+                   "CONSERVATIVE on purpose: it must fire well before the "
+                   "driver's external timeout, which round 4 proved is "
+                   "< 3600 s; extra rows are budget-gated against the "
+                   "remaining time, see _run)")
     args = p.parse_args()
     if args.watchdog is None:
-        args.watchdog = float(os.environ.get(
-            "BENCH_WATCHDOG_S", 7200 if args.size == "4k" else 3600
-        ))
+        args.watchdog = float(os.environ.get("BENCH_WATCHDOG_S", 1800))
 
     done = None
     deadline = None
@@ -604,6 +623,25 @@ def main() -> int:
         return 1
 
 
+def _compact_line(r: dict, size: str) -> dict:
+    """The driver's one-line view of a (possibly partial) result dict."""
+    line = {k: r[k] for k in ("metric", "value", "unit", "vs_baseline")}
+    d = r.get("detail", {})
+    keys = (
+        f"{size}_int8_fps_per_chip", f"{size}_int8_vs_bf16_psnr_db",
+        "int8_vs_bf16_psnr_db", "selfcheck",
+        "vimeo_448x256_b8_fps_per_chip", "vimeo_vs_baseline",
+        "vimeo_448x256_b8_int8_fps_per_chip",
+        "720p_fps_per_chip", "720p_int8_fps_per_chip",
+        "720p_int8_vs_bf16_psnr_db", "720p_exp2_mid_fps_per_chip_int8",
+        "4k_int8", "skipped_rows",
+    )
+    picked = {k: d[k] for k in keys if k in d}
+    if picked:
+        line["detail"] = picked
+    return line
+
+
 def _run(args, done, deadline=None) -> int:
     if args.selfcheck_only:
         print(json.dumps({"selfcheck": run_selfcheck()}))
@@ -627,82 +665,113 @@ def _run(args, done, deadline=None) -> int:
     # An explicit --iters above the floor still wins.
     r = run_bench(args.size, max(args.iters, 20), args.batch,
                   use_pallas=not args.no_pallas, int8=args.int8)
+    _PARTIAL["line"] = _compact_line(r, args.size)
+
     if not args.skip_extras:
-        # BASELINE.json metric 1: Vimeo-size 448x256 batch-8 fps/chip.
-        # 30+ iters: at ~30 ms/call a 10-iter loop is ~0.3 s, inside the
-        # tunnel's run-to-run jitter (BENCH_r02 recorded 212.6 fps where
-        # longer runs measure ~235-246 — reconciled round 3).
-        v = run_bench("vimeo", max(args.iters, 30), batch=8,
-                      use_pallas=not args.no_pallas)
-        r["detail"]["vimeo_448x256_b8_fps_per_chip"] = v["value"]
-        r["detail"]["vimeo_vs_baseline"] = v["vs_baseline"]
-        # int8 lever (docs/PERFORMANCE.md lever 4), measured + PSNR-gated
-        # at both benchmark sizes.
-        vi = run_bench("vimeo", max(args.iters, 30), batch=8,
-                       use_pallas=not args.no_pallas, int8=True)
-        r["detail"]["vimeo_448x256_b8_int8_fps_per_chip"] = vi["value"]
-        r["detail"]["int8_vs_bf16_psnr_db"] = (
-            vi["detail"]["int8_vs_bf16_psnr_db"]
-        )
-        if not args.int8:
+        # Extra rows in artifact-value order, each gated on the REMAINING
+        # watchdog budget with a conservative cost estimate (from
+        # benchmarks/AB_R4.json wall clocks — compile + one-time program
+        # load dominate and vary wildly over the tunnel, so estimates
+        # lean high). A row that does not fit records a skip reason
+        # instead of running; a row that still overshoots only costs the
+        # rows after it — the watchdog prints the partial line. This is
+        # the round-4 fix: BENCH_r04 died rc=124 with zero output because
+        # the row set outgrew the driver's external timeout.
+        skipped: dict = {}
+
+        def _left() -> float:
+            return (float("inf") if deadline is None
+                    else deadline - time.monotonic())
+
+        def _fits(name: str, need: float) -> bool:
+            if _left() >= need:
+                return True
+            skipped[name] = (f"budget: {max(_left(), 0):.0f}s left, "
+                             f"need ~{need:.0f}s")
+            r["detail"]["skipped_rows"] = skipped
+            return False
+
+        def _update() -> None:
+            if skipped:
+                r["detail"]["skipped_rows"] = skipped
+            _PARTIAL["line"] = _compact_line(r, args.size)
+
+        # int8 at the headline size (docs/PERFORMANCE.md lever 4),
+        # PSNR-gated vs the bf16 output.
+        if not args.int8 and _fits(f"{args.size}_int8", 700):
             hi = run_bench(args.size, args.iters, args.batch,
                            use_pallas=not args.no_pallas, int8=True)
             r["detail"][f"{args.size}_int8_fps_per_chip"] = hi["value"]
             r["detail"][f"{args.size}_int8_vs_bf16_psnr_db"] = (
                 hi["detail"]["int8_vs_bf16_psnr_db"]
             )
+            _update()
+        # SURVEY.md §4: kernel parity ON DEVICE, recorded as an artifact.
+        if _fits("selfcheck", 550):
+            r["detail"]["selfcheck"] = run_selfcheck()
+            _update()
+        # BASELINE.json metric 1: Vimeo-size 448x256 batch-8 fps/chip.
+        # 30+ iters: at ~30 ms/call a 10-iter loop is ~0.3 s, inside the
+        # tunnel's run-to-run jitter (BENCH_r02 recorded 212.6 fps where
+        # longer runs measure ~235-246 — reconciled round 3).
+        if _fits("vimeo", 400):
+            v = run_bench("vimeo", max(args.iters, 30), batch=8,
+                          use_pallas=not args.no_pallas)
+            r["detail"]["vimeo_448x256_b8_fps_per_chip"] = v["value"]
+            r["detail"]["vimeo_vs_baseline"] = v["vs_baseline"]
+            _update()
+            if _fits("vimeo_int8", 300):
+                vi = run_bench("vimeo", max(args.iters, 30), batch=8,
+                               use_pallas=not args.no_pallas, int8=True)
+                r["detail"]["vimeo_448x256_b8_int8_fps_per_chip"] = (
+                    vi["value"]
+                )
+                r["detail"]["int8_vs_bf16_psnr_db"] = (
+                    vi["detail"]["int8_vs_bf16_psnr_db"]
+                )
+                _update()
         if args.size != "720p":
             # BASELINE.json config 3 (720p streaming upscale) device rate —
             # regression-guards the padded-height packed paths
             # (h % 64 != 0), which 1080p/vimeo shapes never exercise.
-            s7 = run_bench("720p", max(args.iters, 20), 1,
-                           use_pallas=not args.no_pallas)
-            r["detail"]["720p_fps_per_chip"] = s7["value"]
-            s7i = run_bench("720p", max(args.iters, 20), 1,
-                            use_pallas=not args.no_pallas, int8=True)
-            r["detail"]["720p_int8_fps_per_chip"] = s7i["value"]
-            r["detail"]["720p_int8_vs_bf16_psnr_db"] = (
-                s7i["detail"]["int8_vs_bf16_psnr_db"]
-            )
+            if _fits("720p", 450):
+                s7 = run_bench("720p", max(args.iters, 20), 1,
+                               use_pallas=not args.no_pallas)
+                r["detail"]["720p_fps_per_chip"] = s7["value"]
+                _update()
+            if _fits("720p_int8", 450):
+                s7i = run_bench("720p", max(args.iters, 20), 1,
+                                use_pallas=not args.no_pallas, int8=True)
+                r["detail"]["720p_int8_fps_per_chip"] = s7i["value"]
+                r["detail"]["720p_int8_vs_bf16_psnr_db"] = (
+                    s7i["detail"]["int8_vs_bf16_psnr_db"]
+                )
+                _update()
             # Multi-frame mode (--exp 2 / retime class): regression-guards
-            # the shared-flow-UNet batching of pipeline._run_times.
-            s7m = run_bench_exp("720p", max(args.iters, 10), 2, int8=True,
-                                use_pallas=not args.no_pallas)
-            r["detail"]["720p_exp2_mid_fps_per_chip_int8"] = s7m["value"]
-        # SURVEY.md §4: kernel parity ON DEVICE, recorded as an artifact.
-        r["detail"]["selfcheck"] = run_selfcheck()
-        if args.size == "1080p":
+            # the sequential shared-flow scan of pipeline._run_times.
+            if _fits("720p_exp2_int8", 450):
+                s7m = run_bench_exp("720p", max(args.iters, 10), 2,
+                                    int8=True,
+                                    use_pallas=not args.no_pallas)
+                r["detail"]["720p_exp2_mid_fps_per_chip_int8"] = (
+                    s7m["value"]
+                )
+                _update()
+        if args.size == "1080p" and _fits("4k_int8", 550):
             # BASELINE.json config 5 (4K): regression-guard the resolution
             # in the driver artifact (VERDICT r3 #3). Runs LAST so a 4K
             # failure can only cost its own row; budget = what remains of
             # the parent watchdog minus a printing margin.
             budget = float(os.environ.get("RRIN_BENCH_4K_TIMEOUT_S", 2400))
             if deadline is not None:
-                budget = min(budget, deadline - time.monotonic() - 120)
+                budget = min(budget, _left() - 120)
             r["detail"]["4k_int8"] = _bench_4k_row(budget)
+            _update()
 
     if args.full_json:
         print(json.dumps(r, indent=2))
     else:
-        line = {k: r[k] for k in ("metric", "value", "unit", "vs_baseline")}
-        if not args.skip_extras:
-            d = r["detail"]
-            line["detail"] = {
-                "vimeo_448x256_b8_fps_per_chip":
-                    d["vimeo_448x256_b8_fps_per_chip"],
-                "vimeo_vs_baseline": d["vimeo_vs_baseline"],
-                "vimeo_448x256_b8_int8_fps_per_chip":
-                    d["vimeo_448x256_b8_int8_fps_per_chip"],
-                "int8_vs_bf16_psnr_db": d["int8_vs_bf16_psnr_db"],
-                "selfcheck": d["selfcheck"],
-            }
-            for k in (f"{args.size}_int8_fps_per_chip",
-                      f"{args.size}_int8_vs_bf16_psnr_db",
-                      "720p_fps_per_chip", "720p_int8_fps_per_chip",
-                      "720p_int8_vs_bf16_psnr_db", "4k_int8"):
-                if k in d:
-                    line["detail"][k] = d[k]
-        print(json.dumps(line))
+        print(json.dumps(_compact_line(r, args.size)))
     if done is not None:
         done.set()
     return 0
