@@ -532,6 +532,36 @@ def _bench_4k_row(budget_s: float) -> dict:
 _PARTIAL: dict = {"line": None}
 
 
+def _install_sigterm_flush() -> None:
+    """Print the best-so-far line when the DRIVER's timeout fires first.
+
+    BENCH_r04's rc was 124 — GNU `timeout` SIGTERMs before escalating to
+    SIGKILL, and an unhandled SIGTERM dies printing nothing. The handler
+    makes the partial result land even if the external timeout is tighter
+    than the internal watchdog: the driver parses the output tail
+    regardless of rc."""
+    import signal
+
+    def flush(_sig, _frame):
+        line = _PARTIAL.get("line")
+        if line is not None:
+            line.setdefault("detail", {})["sigterm_partial"] = True
+            print(json.dumps(line), flush=True)
+        else:
+            print(json.dumps({
+                "metric": "bench_error", "value": None,
+                "unit": "frames/sec", "vs_baseline": None,
+                "detail": {"error": "SIGTERM before the headline row "
+                           "finished (driver timeout?)"},
+            }), flush=True)
+        os._exit(0)
+
+    try:
+        signal.signal(signal.SIGTERM, flush)
+    except (ValueError, OSError):  # non-main thread / exotic platform
+        pass
+
+
 def _arm_watchdog(seconds: float) -> "threading.Event":
     """Hard-exit with the best-so-far result line (or a diagnosable JSON
     error if not even the headline finished) if the bench never completes
@@ -598,6 +628,7 @@ def main() -> int:
     args = p.parse_args()
     if args.watchdog is None:
         args.watchdog = float(os.environ.get("BENCH_WATCHDOG_S", 1800))
+    _install_sigterm_flush()
 
     done = None
     deadline = None

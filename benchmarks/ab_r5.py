@@ -106,7 +106,9 @@ def main() -> int:
         report["runs"] = [r for r in report["runs"]
                           if r["name"] not in sel]
 
-    if not probe():
+    # First device contact from a fresh process takes ~2.5 min over the
+    # tunnel; the round-4 default (240 s) aborted a healthy queue.
+    if not probe(timeout=600):
         print("TPU tunnel wedged — aborting before burning run budget",
               file=sys.stderr)
         return 2
@@ -121,7 +123,7 @@ def main() -> int:
             json.dump(report, f, indent=2)
         print(json.dumps(row.get("result") or row, indent=None),
               flush=True)
-        if not probe(timeout=300):
+        if not probe(timeout=600):
             print("tunnel died after this run — stopping", file=sys.stderr)
             return 3
     return 0

@@ -86,7 +86,21 @@ def evaluate_all(params, data_root: str, batch: int):
         use_pallas=True, int8=True, int8_percentile=99.9,
     )
     for k in out:
-        out[k].pop("per_triplet", None)
+        # Per-motion-tier PSNR means (dirs are <root>/m<motion>/<i>): the
+        # varied-motion breakdown (VERDICT r4 item 6) without shipping
+        # every per-triplet row.
+        tiers = {}
+        for row in out[k].pop("per_triplet", []):
+            parts = os.path.normpath(row["dir"]).split(os.sep)
+            tier = next((p for p in parts if p.startswith("m") and
+                         p[1:].replace(".", "").isdigit()), "all")
+            tiers.setdefault(tier, []).append(row["psnr"])
+        if len(tiers) > 1:
+            out[k]["psnr_by_motion"] = {
+                t: round(float(np.mean(v)), 4)
+                for t, v in sorted(tiers.items(),
+                                   key=lambda kv: float(kv[0][1:]))
+            }
     return out
 
 
@@ -97,7 +111,7 @@ def main() -> int:
     p.add_argument("--crop", type=int, nargs=2, default=(256, 448))
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--loss", default="charbonnier")
-    p.add_argument("--eval-count", type=int, default=16)
+    p.add_argument("--eval-count", type=int, default=64)
     p.add_argument("--eval-batch", type=int, default=4)
     p.add_argument("--ckpt-out",
                    default=os.path.join(HERE, "trained_synth_f16.npz"))
@@ -132,10 +146,23 @@ def main() -> int:
     )
 
     # Held-out set: seed disjoint from the training feed's key stream.
-    eval_root = "/tmp/rrin_trained_eval_triplets"
+    # Four motion tiers (per-step px; endpoint motion is 2x) — m3/m6 are
+    # in-distribution (the feed trains at max_shift 6), m12/m20 probe
+    # out-of-distribution magnitude, so the report shows where the linear-
+    # motion checkpoint degrades and that int8 tracks fp32 across ALL
+    # tiers, not just easy ones. (Flows large enough to trip the Pallas
+    # warp's in-image |dx|>126 fallback cannot be reached this way — a
+    # +-6px-trained net never emits them; that path is pinned by
+    # tests/test_warp_pallas + bench.py's on-device selfcheck instead.)
+    MOTION_TIERS = (3.0, 6.0, 12.0, 20.0)
+    per_tier = max(1, args.eval_count // len(MOTION_TIERS))
+    eval_root = f"/tmp/rrin_trained_eval_triplets_{per_tier}x{len(MOTION_TIERS)}"
     if not os.path.isdir(eval_root):
-        synthesize_triplets(eval_root, args.eval_count, hw=(256, 448),
-                            seed=1234)
+        for ti, motion in enumerate(MOTION_TIERS):
+            synthesize_triplets(
+                os.path.join(eval_root, f"m{motion:g}"), per_tier,
+                hw=(256, 448), seed=1234 + ti, motion=motion,
+            )
 
     results = evaluate_all(params, eval_root, args.eval_batch)
     rand_results = evaluate_all(
@@ -146,6 +173,7 @@ def main() -> int:
     fp32 = results["fp32_plain"]["psnr_mean"]
     int8 = results["int8_packed"]["psnr_mean"]
     bf16 = results["bf16_packed"]["psnr_mean"]
+    pctl = results["int8_pctl99.9_packed"]["psnr_mean"]
     rand = rand_results["fp32_plain"]["psnr_mean"]
     report = {
         "generated": time.strftime("%Y-%m-%dT%H:%M:%S"),
@@ -159,8 +187,10 @@ def main() -> int:
             "feed": "rrin_tpu.data.synthetic (on-device linear motion)",
         },
         "eval": {
-            "set": f"{args.eval_count} held-out synthetic triplets "
-                   "(eval.synthesize_triplets seed 1234, 256x448)",
+            "set": f"{per_tier * len(MOTION_TIERS)} held-out synthetic "
+                   "triplets, 256x448, motion tiers "
+                   f"m{'/m'.join(f'{m:g}' for m in MOTION_TIERS)} px/step "
+                   "(eval.synthesize_triplets seeds 1234+tier)",
             "trained": results,
             "random_init": rand_results,
         },
@@ -168,8 +198,12 @@ def main() -> int:
             "trained_beats_random_by_db": round(fp32 - rand, 2),
             "int8_vs_fp32_db": round(int8 - fp32, 2),
             "bf16_vs_fp32_db": round(bf16 - fp32, 2),
+            # Percentile clipping may BEAT absmax (finer grid) — gate only
+            # the downside vs fp32, same 0.5 dB envelope.
+            "int8_pctl_vs_fp32_db": round(pctl - fp32, 2),
             "ok": bool(fp32 - rand > 3.0 and abs(int8 - fp32) < 0.5
-                       and abs(bf16 - fp32) < 0.5),
+                       and abs(bf16 - fp32) < 0.5
+                       and pctl - fp32 > -0.5),
         },
         "wall_seconds": round(time.perf_counter() - t_start, 1),
     }

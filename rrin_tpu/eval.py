@@ -65,12 +65,19 @@ def load_triplet(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def synthesize_triplets(
-    root: str, count: int = 8, hw: Tuple[int, int] = (256, 448), seed: int = 0
+    root: str, count: int = 8, hw: Tuple[int, int] = (256, 448),
+    seed: int = 0, motion: float = 6.0,
 ) -> List[str]:
     """Deterministic synthetic triplets: smooth random textures translated by
     a random subpixel motion (im2 exactly midway) — linear motion, so a
     good interpolator scores high; useful for harness tests and regression
-    tracking without the real dataset."""
+    tracking without the real dataset.
+
+    ``motion`` bounds the per-step shift |dx|,|dy| in pixels (im1->im3
+    endpoint motion is twice that) — the training feed uses 6.0
+    (data/synthetic max_shift); larger tiers probe out-of-distribution
+    motion magnitude (benchmarks/train_artifact.py's varied-motion
+    held-out set)."""
     import cv2
 
     h, w = hw
@@ -79,7 +86,7 @@ def synthesize_triplets(
     for i in range(count):
         base = rng.random((h // 8, w // 8, 3)).astype(np.float32)
         tex = cv2.resize(base, (2 * w, 2 * h), interpolation=cv2.INTER_CUBIC)
-        dx, dy = rng.uniform(-6, 6, size=2)
+        dx, dy = rng.uniform(-motion, motion, size=2)
         d = os.path.join(root, f"{i:05d}")
         os.makedirs(d, exist_ok=True)
         mat0 = np.float32([[1, 0, w // 2], [0, 1, h // 2]])

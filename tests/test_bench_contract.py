@@ -75,6 +75,34 @@ class TestBenchJsonContract:
         assert d["metric"] == "m" and d["value"] == 1.5
         assert d["detail"]["watchdog_partial_after_s"] == 0
 
+    def test_sigterm_prints_partial_line(self):
+        """GNU `timeout` SIGTERMs before SIGKILL (BENCH_r04 rc=124): the
+        handler must flush the best-so-far line so the driver's tail
+        parse succeeds even when its external timeout is tighter than
+        the internal watchdog."""
+        import os
+        import signal
+
+        code = (
+            "import sys, time\n"
+            "sys.path.insert(0, '/root/repo')\n"
+            "import bench\n"
+            "bench._PARTIAL['line'] = {'metric': 'm', 'value': 2.5,\n"
+            "    'unit': 'u', 'vs_baseline': None}\n"
+            "bench._install_sigterm_flush()\n"
+            "print('READY', flush=True)\n"
+            "time.sleep(30)\n"
+        )
+        proc = subprocess.Popen([sys.executable, "-c", code],
+                                stdout=subprocess.PIPE, text=True)
+        assert proc.stdout.readline().strip() == "READY"
+        os.kill(proc.pid, signal.SIGTERM)
+        out, _ = proc.communicate(timeout=20)
+        assert proc.returncode == 0, proc.returncode
+        d = json.loads(out.strip())
+        assert d["metric"] == "m" and d["value"] == 2.5
+        assert d["detail"]["sigterm_partial"] is True
+
     def test_watchdog_errors_without_headline(self):
         """Watchdog firing BEFORE any result still prints a diagnosable
         bench_error line (rc 3)."""
