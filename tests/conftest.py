@@ -18,6 +18,19 @@ import jax  # noqa: E402
 # environment; the config update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache (verified to work for the CPU backend in
+# this jax build): the suite's wall time is dominated by CPU compiles of
+# the cascade programs, and they are identical run to run — the second
+# `make test-fast` (and the @slow phase after a fast phase) reuses them
+# instead of recompiling. Keyed on backend/flags/jax-version, so the
+# 8-virtual-device mesh entries stay distinct. Override the location with
+# JAX_COMPILATION_CACHE_DIR; wipe the dir to force cold compiles.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   "/tmp/rrin_tpu_test_jax_cache"),
+)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
