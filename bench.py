@@ -464,12 +464,18 @@ def run_bench_exp(size: str, iters: int, exp: int, int8: bool = False,
         _ = np.asarray(step(pairs)[0, 0, 0, 0, 0])
 
     # Dependency chain: the next step's pair is built from the previous
-    # step's first/last mid frames (device-side, no D2H).
-    cur = pairs
+    # step's first/last mid frames (device-side, no D2H). The chain op
+    # MUST be one jitted call: building it from eager slice/stack ops
+    # paid a tunnel ROUND TRIP per op (~200 ms/iter at 720p — each eager
+    # op uploads its scalar constants), which round 4 misread as the
+    # multi-frame step being 4-5x too slow (device trace: the exp step's
+    # actual device time was fine all along).
+    chain = jax.jit(lambda o: jnp.stack([o[:, 0], o[:, -1]], axis=1))
+    cur = chain(step(pairs))  # compile the chain op outside the loop
+    _ = np.asarray(cur[0, 0, 0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        o = step(cur)
-        cur = jnp.stack([o[:, 0], o[:, -1]], axis=1)
+        cur = chain(step(cur))
     _ = np.asarray(cur[0, 0, 0, 0, 0])
     dt = (time.perf_counter() - t0) / iters
 

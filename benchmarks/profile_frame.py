@@ -30,6 +30,10 @@ def main() -> int:
     p.add_argument("--size", default="1080p")
     p.add_argument("--int8", action="store_true")
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--exp", type=int, default=1,
+                   help="trace the multi-frame device_step (bench.py "
+                   "run_bench_exp setup: uint8 pairs in, m = 2^exp - 1 "
+                   "mids out) instead of the single-mid forward")
     p.add_argument("--frames", type=int, default=4,
                    help="steps captured inside the trace window")
     p.add_argument("--warmup", type=int, default=2)
@@ -69,6 +73,47 @@ def main() -> int:
             params, cfg, jnp.bfloat16, quant_stats=quant_stats, hw=(h, w)
         )
 
+    if args.exp > 1:
+        # Multi-frame step (pipeline._run_times sequential scan): the
+        # uint8-both-ways device_step at exp>1, dependency-chained the
+        # same way bench.run_bench_exp drives it.
+        from rrin_tpu.pipeline import device_step
+
+        pairs = jnp.asarray(
+            rng.integers(0, 256, (args.batch, 2, h, w, 3), dtype=np.uint8))
+
+        def step_exp(prs):
+            return device_step(
+                params, prs, exp=args.exp, mode="direct", cfg=cfg,
+                compute_dtype=jnp.bfloat16, use_pallas=True,
+                pad_hw=(0, 0), packed=True, quant_stats=quant_stats,
+                packed_params=pp)
+
+        t0 = time.perf_counter()
+        out = step_exp(pairs)
+        _ = np.asarray(out[0, 0, 0, 0, 0])
+        print(f"compile+load {time.perf_counter() - t0:.1f}s", flush=True)
+        for _ in range(args.warmup - 1):
+            _ = np.asarray(step_exp(pairs)[0, 0, 0, 0, 0])
+
+        prof = args.out or (f"/tmp/rrin_prof_{args.size}_exp{args.exp}"
+                            + ("_int8" if args.int8 else ""))
+        # One jitted chain call — eager slice/stack ops pay a tunnel
+        # round trip each (see bench.run_bench_exp).
+        chain = jax.jit(lambda o: jnp.stack([o[:, 0], o[:, -1]], axis=1))
+        cur = chain(step_exp(pairs))
+        _ = np.asarray(cur[0, 0, 0, 0, 0])
+        t0 = time.perf_counter()
+        with jax.profiler.trace(prof):
+            for _ in range(args.frames):
+                cur = chain(step_exp(cur))
+            _ = np.asarray(cur[0, 0, 0, 0, 0])
+        dt = (time.perf_counter() - t0) / args.frames
+        print(f"{dt * 1e3 / args.batch:.2f} ms/STEP wall "
+              f"({(1 << args.exp) - 1} mids; {prof})", flush=True)
+        _summarize(prof, args)
+        return 0
+
     def step(a, b):
         return forward(params, a, b, 0.5, cfg=cfg,
                        compute_dtype=jnp.bfloat16, use_pallas=True,
@@ -94,7 +139,11 @@ def main() -> int:
         _ = np.asarray(b[0, 0, 0, 0])
     dt = (time.perf_counter() - t0) / args.frames
     print(f"{dt * 1e3 / args.batch:.2f} ms/frame wall ({prof})", flush=True)
+    _summarize(prof, args)
+    return 0
 
+
+def _summarize(prof: str, args) -> None:
     import trace_summary as ts
 
     rows = ts.device_op_rows(ts.load_events(ts.find_trace(prof)))
@@ -109,7 +158,6 @@ def main() -> int:
         for k in buckets:
             for dur, name, long_name in examples[k]:
                 print(f"{k:18s} {dur:8d} us  {name}  {long_name}")
-    return 0
 
 
 if __name__ == "__main__":

@@ -139,7 +139,13 @@ def _step_body(
         def body(carry, t_row):
             return carry, run(i0, i1, t_row, flows=fl)
 
-        _, outs = jax.lax.scan(body, None, jnp.moveaxis(tm, 0, 1))
+        # RRIN_MF_UNROLL=1 unrolls the scan: same sequential structure,
+        # no while loop in the HLO (m inlined cascade bodies). A/B valve
+        # for isolating while-loop overhead around the Mosaic kernels
+        # (trace: the rolled scan's trips cost ~5x the m=1 forward).
+        unroll = m if os.environ.get("RRIN_MF_UNROLL", "0") == "1" else 1
+        _, outs = jax.lax.scan(body, None, jnp.moveaxis(tm, 0, 1),
+                               unroll=unroll)
         return jnp.moveaxis(outs, 0, 1)  # (m, B, ...) -> (B, m, ...)
 
     if mode == "times":
