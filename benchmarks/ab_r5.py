@@ -123,7 +123,10 @@ def main() -> int:
             json.dump(report, f, indent=2)
         print(json.dumps(row.get("result") or row, indent=None),
               flush=True)
-        if not probe(timeout=600):
+        # Transient UNAVAILABLE blips between subprocesses are common
+        # (observed 2026-08-21: a probe failed fast while the very next
+        # fresh-process probe succeeded) — only stop after two misses.
+        if not (probe(timeout=600) or probe(timeout=600)):
             print("tunnel died after this run — stopping", file=sys.stderr)
             return 3
     return 0
