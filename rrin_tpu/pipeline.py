@@ -111,16 +111,20 @@ def _step_body(
         The m times run SEQUENTIALLY at batch B inside one ``lax.scan``
         (one compiled cascade body, m trips): large frames are measured
         HBM-pressure-SLOWER above device batch 1 (docs/PERFORMANCE.md
-        "1080p batching"), so the previous single B*m-batch forward paid
-        ~4-5x per frame at 720p+ and its program alone took minutes to
-        load over the tunnel. The coarse flow U-Net is t-INDEPENDENT
-        (SURVEY App-A step 1: flows = f(i0, i1)), so it runs ONCE per
-        pair before the scan and the scan body closes over it — ~1/4 of
-        the U-Net compute per extra time saved; same math (see
-        models/rrin._cascade: exact in f32/int8, <=1 u8 rounding step on
-        isolated pixels in bf16). A/B valves (read at trace time):
-        RRIN_SHARE_FLOWS=0 recomputes flows per time inside the body;
-        RRIN_MF_SEQ=0 reverts to the legacy maximal-batch forward."""
+        "1080p batching"), and the scan keeps the program small (the
+        B*m-batch program's load over the tunnel took minutes). The
+        coarse flow U-Net is t-INDEPENDENT (SURVEY App-A step 1:
+        flows = f(i0, i1)), so it runs ONCE per pair before the scan and
+        the scan body closes over it. Measured at 720p exp2 int8
+        (AB_R5): 48.76 mid-fps shared vs 42.75 recomputed — FASTER than
+        3 independent m=1 forwards (the sharing dividend). Same math;
+        across different compiled programs XLA reassociation allows <=1
+        u8 step on isolated rounding-boundary pixels (any dtype — see
+        docs/PERFORMANCE.md "Multi-frame" + tests/test_flow_shared).
+        A/B valves (read at trace time): RRIN_SHARE_FLOWS=0 recomputes
+        flows per time inside the body; RRIN_MF_SEQ=0 reverts to the
+        legacy maximal-batch forward; RRIN_MF_UNROLL=1 unrolls the scan
+        (measured neutral)."""
         m = tm.shape[1]
         if m == 1:
             return run(i0, i1, tm[:, 0])[:, None]
