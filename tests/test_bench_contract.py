@@ -5,6 +5,7 @@ crashes — the watchdog only covers hangs."""
 import io
 import contextlib
 import json
+import pytest
 import subprocess
 import sys
 import time
@@ -197,6 +198,7 @@ class TestBenchJsonContract:
             assert k in det, (k, det)
         assert "skipped_rows" not in det
 
+    @pytest.mark.slow  # >60s (durations run r5) — full suite still runs it
     def test_exp_mode_prints_one_json_line(self, monkeypatch):
         """--exp 2 (multi-frame mode) keeps the one-JSON-line contract
         and reports the shared-flow-UNet metric (pipeline._run_times)."""

@@ -99,6 +99,7 @@ class TestKernelParity:
 
 
 class TestUNetWithKernel:
+    @pytest.mark.slow  # >60s (durations run r5) — full suite still runs it
     def test_unet_interpret_matches_fp32(self, rng):
         """Full U-Net with the kernel forced (bf16) vs fp32 XLA reference."""
         from rrin_tpu.config import ModelConfig

@@ -251,6 +251,7 @@ class TestPercentileCalibration:
         assert max(vals) > 0.0
         assert all(0.0 <= v <= 1.0 for v in vals)
 
+    @pytest.mark.slow  # >60s (durations run r5) — full suite still runs it
     def test_interpolator_percentile_end_to_end(self, rng):
         from rrin_tpu.pipeline import Interpolator, device_step
 
@@ -298,6 +299,7 @@ class TestPercentileCalibration:
 
 
 class TestPreparedParams:
+    @pytest.mark.slow  # >60s (durations run r5) — full suite still runs it
     def test_prepared_matches_inline(self, rng):
         """forward with prepare-once packed_params == forward without, in
         both float and int8 modes (the prep arrays are the SAME values the
@@ -334,6 +336,7 @@ class TestPreparedParams:
             forward(params, i0, i0, 0.5, cfg=CFG, packed=True,
                     packed_params=pp)
 
+    @pytest.mark.slow  # >60s (durations run r5) — full suite still runs it
     def test_interpolator_prepares_once(self, rng):
         from rrin_tpu.pipeline import Interpolator
 

@@ -284,6 +284,7 @@ class TestShardedPipeline:
 
 class TestOddResolutions:
     @pytest.mark.parametrize("hw", [(222, 398), (50, 70)])
+    @pytest.mark.slow  # >60s (durations run r5) — full suite still runs it
     def test_non_multiple_video_end_to_end(self, params, tmp_path, hw):
         """Arbitrary video sizes pad to /16 on-device and crop back
         (SURVEY.md §1 L4); kernel dispatch falls back cleanly when the

@@ -37,6 +37,7 @@ def test_eight_virtual_devices():
 
 
 class TestShardedForward:
+    @pytest.mark.slow  # >60s (durations run r5) — full suite still runs it
     def test_dp_matches_single_device(self, params, rng):
         mesh = make_mesh()  # 8x1
         i0 = rng.random((8, 32, 48, 3), dtype=np.float32)
@@ -77,6 +78,7 @@ class TestShardMapDP:
     def _pairs(self, rng, b, h, w):
         return (rng.random((b, 2, h, w, 3)) * 255).astype(np.uint8)
 
+    @pytest.mark.slow  # >60s (durations run r5) — full suite still runs it
     def test_dp_packed_bf16_matches_single_device(self, params, rng):
         from rrin_tpu.pipeline import Interpolator
 
@@ -94,6 +96,7 @@ class TestShardMapDP:
         assert diff.max() <= 1 and (diff != 0).mean() < 0.02, (
             diff.max(), (diff != 0).mean())
 
+    @pytest.mark.slow  # >60s (durations run r5) — full suite still runs it
     def test_dp_int8_matches_single_device(self, params, rng):
         from rrin_tpu.pipeline import Interpolator
 
@@ -129,6 +132,7 @@ class TestShardMapDP:
         assert diff.max() <= 1 and (diff != 0).mean() < 0.02, (
             diff.max(), (diff != 0).mean())
 
+    @pytest.mark.slow  # >60s (durations run r5) — full suite still runs it
     def test_dp_padded_height_int8_matches_single_device(self, params, rng):
         from rrin_tpu.pipeline import Interpolator
 
